@@ -1,0 +1,68 @@
+"""rgba8: 8-bit interleaved RGBA (reference: src/process/rgba8.ts).
+
+Read converts gamma-encoded 8-bit codes to linear float via the gamma
+LUT (index = code * 257, exactly rte(c * 65535 / 255), rgba8.ts:53-61);
+alpha passes through the same transfer function.  Write emits
+convert_uchar_sat_rte(l2g(v) * 255) with alpha forced to 255
+(rgba8.ts:94-97).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from .common import FormatInfo
+
+INFO = FormatInfo(
+    name="rgba8",
+    num_bits=8,
+    luma_black=16,
+    luma_white=235,
+    chroma_range=224,
+    is_rgb=True,
+)
+
+CHANNEL_ORDER = (0, 1, 2, 3)  # R, G, B, A byte positions
+
+
+def pitch(width: int) -> int:
+    return width
+
+
+def pitch_bytes(width: int) -> int:
+    return width * 4
+
+
+def num_bytes(width: int, height: int) -> list[int]:
+    return [pitch_bytes(width) * height]
+
+
+def plane_shapes(width: int, height: int):
+    return [((height, width, 4), np.dtype(np.uint8))]
+
+
+def from_bytes(data: bytes, width: int, height: int) -> list[np.ndarray]:
+    return [np.frombuffer(data, dtype=np.uint8).reshape(height, width, 4)]
+
+
+def unpack_rgba_codes(planes, width: int, height: int) -> jnp.ndarray:
+    """(H, W, 4) bytes -> (4, H, W) int32 codes in R,G,B,A order."""
+    px = planes[0].astype(jnp.int32)
+    chans = [px[:, :, i] for i in CHANNEL_ORDER]
+    return jnp.stack(chans)
+
+
+def pack_rgba_codes(codes: jnp.ndarray, width: int, height: int):
+    """(4, H, W) int32 codes (R,G,B,A order) -> (H, W, 4) bytes."""
+    inv = [CHANNEL_ORDER.index(i) for i in range(4)]
+    return [jnp.stack([codes[c] for c in inv], axis=-1).astype(jnp.uint8)]
+
+
+def fill_buf(width: int, height: int) -> list[np.ndarray]:
+    """Constant R=16 G=32 B=64 A=255 field (rgba8.ts:114-133)."""
+    px = np.zeros((height, width, 4), dtype=np.uint8)
+    r, g, b, a = 16, 32, 64, 255
+    for i, v in zip(CHANNEL_ORDER, (r, g, b, a)):
+        px[:, :, i] = v
+    return [px]

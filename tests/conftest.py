@@ -1,0 +1,12 @@
+"""Test configuration: run everything on CPU jaxlib with a virtual
+8-device mesh so multi-chip sharding paths compile and execute without
+TPU hardware (BASELINE configs[0])."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
