@@ -1,0 +1,103 @@
+"""Compositing ops: N-layer combine, transitions, mix, wipe.
+
+Functional equivalents of the reference's generated OpenCL kernels
+(src/process/combine.ts, transition.ts, mix.ts, wipe.ts) over planar
+(4, H, W) linear RGBA frames.  All scalar parameters (mix, wipe
+progress) are traced values, so animating them never recompiles.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+__all__ = [
+    "combine",
+    "combine_masked",
+    "dissolve",
+    "wipe_mask",
+    "mix_frames",
+    "wipe_h",
+    "transparent",
+]
+
+
+def transparent(height: int, width: int) -> jnp.ndarray:
+    """Transparent black — the identity of the 'over' operator, used to
+    pad layer lists to a bucketed arity without changing the result."""
+    return jnp.zeros((4, height, width), dtype=jnp.float32)
+
+
+def combine(layers: list[jnp.ndarray]) -> jnp.ndarray:
+    """Premultiplied-alpha 'over' accumulation, bottom to top.
+
+    out_i = out_{i-1} * (1 - alpha_i) + layer_i for RGB; the alpha
+    channel takes the top layer's alpha (the reference multiplies the
+    accumulated alpha by 0 each step: k4 = (k,k,k,0), combine.ts:47-59).
+    """
+    if not layers:
+        raise ValueError("combine requires at least one layer")
+    out = layers[0]
+    for layer in layers[1:]:
+        k = 1.0 - layer[3]
+        out = jnp.stack(
+            [
+                out[0] * k + layer[0],
+                out[1] * k + layer[1],
+                out[2] * k + layer[2],
+                layer[3],
+            ]
+        )
+    return out
+
+
+def combine_masked(layers: list[jnp.ndarray], enables: jnp.ndarray) -> jnp.ndarray:
+    """Fixed-arity combine with per-layer enable flags.
+
+    The channel graph compiles for a bucketed maximum layer count; when
+    fewer layers are live, the spare slots are disabled via traced
+    booleans so the result — including the top-layer-alpha semantics —
+    is exactly combine(active_layers) with no recompile (SURVEY.md §7.4
+    'dynamic graph topology without recompile').
+
+    ``enables``: (num_layers,) bool; enables[0] is ignored (the base
+    layer, normally the channel's black frame, is always present).
+    """
+    out = layers[0]
+    for i, layer in enumerate(layers[1:], start=1):
+        k = 1.0 - layer[3]
+        blended = jnp.stack(
+            [
+                out[0] * k + layer[0],
+                out[1] * k + layer[1],
+                out[2] * k + layer[2],
+                layer[3],
+            ]
+        )
+        out = jnp.where(enables[i], blended, out)
+    return out
+
+
+def dissolve(in0: jnp.ndarray, in1: jnp.ndarray, mix: jnp.ndarray) -> jnp.ndarray:
+    """transition_dissolve: out = in0 * mix + in1 * (1 - mix)
+    (transition.ts:60-65).  ``mix`` runs 1 -> 0 over the transition
+    (transitioner.ts:170)."""
+    return in0 * mix + in1 * (1.0 - mix)
+
+
+def wipe_mask(in0: jnp.ndarray, in1: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """transition_wipe: per-pixel blend by the mask frame's R/luma channel
+    (transition.ts:66-74): out = in1 * m + in0 * (1 - m)."""
+    m = mask[0]
+    return in1 * m + in0 * (1.0 - m)
+
+
+def mix_frames(in0: jnp.ndarray, in1: jnp.ndarray, mix: jnp.ndarray) -> jnp.ndarray:
+    """Plain linear mix (mix.ts:24-46)."""
+    return in0 * mix + in1 * (1.0 - mix)
+
+
+def wipe_h(in0: jnp.ndarray, in1: jnp.ndarray, wipe: jnp.ndarray) -> jnp.ndarray:
+    """Hard-edge horizontal wipe: x > w * wipe ? in1 : in0 (wipe.ts:24-48)."""
+    w = in0.shape[-1]
+    x = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+    return jnp.where(x > w * wipe, in1, in0)
