@@ -1,0 +1,211 @@
+"""The fused per-channel frame program — the heart of the TPU build.
+
+Where the reference runs >=6 separate kernel launches per frame with a
+serialised host-side job queue between stages (clJobQueue.ts:114-141,
+SURVEY.md §3.3), this module compiles each channel's whole frame path
+
+    unpack -> colour -> [deinterlace] -> per-layer DVE transform
+           -> transition -> N-layer combine -> colour -> pack
+
+into ONE jitted XLA program: a frame makes a single TPU round trip
+(BASELINE.json north star).  All animated parameters — transform
+matrices, transition progress, layer enables, yadif parity — enter as
+traced arguments, so AMCP command changes never recompile.  The only
+recompile triggers are structural: layer count, per-layer source
+format, transition type, transform on/off.  Compiled programs are
+cached per structural spec (the reference likewise regenerates its
+combine_N kernel on layer-count change, combiner.ts:213-217).
+
+Specs are hashable NamedTuples -> usable as cache keys and jit static
+arguments.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import io as fio
+from ..ops.coeffs import make_loader, make_saver
+from ..ops.composite import combine
+from ..ops.formats import get_format
+from ..ops.geometry import warp_affine, warp_axis_aligned
+from ..ops.yadif import yadif_frame
+
+__all__ = [
+    "LayerSpec",
+    "ChannelSpec",
+    "make_channel_program",
+    "make_unpack_program",
+    "make_pack_program",
+    "make_yadif_program",
+]
+
+
+class LayerSpec(NamedTuple):
+    """Static structure of one layer slot."""
+
+    src_format: str
+    transition: str = "none"  # 'none' | 'dissolve' | 'wipe'
+    has_transform: bool = False  # run the DVE warp (MIXER ANCHOR/FILL/ROTATION)
+    axis_aligned: bool = True  # no-rotation fast path (MXU matmuls)
+    mask_format: Optional[str] = None  # wipe mask source format
+    src_b_format: Optional[str] = None  # transition target source format
+    deinterlace: bool = False  # source is interlaced: inputs carry a ring
+
+
+class ChannelSpec(NamedTuple):
+    """Static structure of one channel's frame program."""
+
+    width: int
+    height: int
+    out_format: str
+    layers: tuple[LayerSpec, ...]
+    col_spec: str = "709"
+    out_col_spec: str = "709"
+    gamma_mode: str = "analytic"
+    tff: bool = True
+
+
+def _unpack(fmt_name: str, planes, spec: ChannelSpec):
+    fmt = get_format(fmt_name)
+    loader = _loader(fmt_name, spec)
+    return fio.to_rgba(fmt, planes, loader, spec.width, spec.height)
+
+
+@lru_cache(maxsize=None)
+def _loader_cached(fmt_name: str, col: str, out_col: str, mode: str, w: int, h: int):
+    return make_loader(get_format(fmt_name).INFO, col, out_col, mode)
+
+
+def _loader(fmt_name: str, spec: ChannelSpec):
+    return _loader_cached(
+        fmt_name, spec.col_spec, spec.out_col_spec, spec.gamma_mode, spec.width, spec.height
+    )
+
+
+@lru_cache(maxsize=None)
+def _saver_cached(fmt_name: str, col: str, mode: str):
+    return make_saver(get_format(fmt_name).INFO, col, mode)
+
+
+def _layer_source(lspec: LayerSpec, fmt_name: str, src: dict, key: str, spec: ChannelSpec):
+    """Unpack one source slot; when deinterlacing, the runtime supplies an
+    unpacked 3-frame ring ('<key>_ring': (3, 4, H, W)) plus 'parity'."""
+    if lspec.deinterlace and f"{key}_ring" in src:
+        ring = src[f"{key}_ring"]
+        return yadif_frame(
+            ring[0], ring[1], ring[2], src["parity"], spec.tff, skip_spatial=False
+        )
+    return _unpack(fmt_name, src[key], spec)
+
+
+def _process_layer(lspec: LayerSpec, lparams: dict, spec: ChannelSpec) -> jnp.ndarray:
+    rgba = _layer_source(lspec, lspec.src_format, lparams, "src", spec)
+    if lspec.has_transform:
+        warp = warp_axis_aligned if lspec.axis_aligned else warp_affine
+        rgba = warp(rgba, lparams["matrix"])
+
+    if lspec.transition == "none":
+        return rgba
+
+    fmt_b = lspec.src_b_format or lspec.src_format
+    rgba_b = _layer_source(lspec, fmt_b, lparams, "src_b", spec)
+    if lspec.has_transform:
+        warp = warp_axis_aligned if lspec.axis_aligned else warp_affine
+        rgba_b = warp(rgba_b, lparams.get("matrix_b", lparams["matrix"]))
+
+    if lspec.transition == "dissolve":
+        mix = lparams["mix"]
+        return rgba * mix + rgba_b * (1.0 - mix)
+
+    # wipe: blend by the mask source's R channel (transition.ts:66-74)
+    mask = _unpack(lspec.mask_format or lspec.src_format, lparams["mask"], spec)
+    m = mask[0]
+    return rgba_b * m + rgba * (1.0 - m)
+
+
+def _channel_frame(spec: ChannelSpec, params: dict) -> list[jnp.ndarray]:
+    """params = {'layers': [per-layer dicts bottom..top]} -> packed planes."""
+    h, w = spec.height, spec.width
+    black = jnp.zeros((4, h, w), dtype=jnp.float32)  # Black generator
+    frames = [black] + [
+        _process_layer(ls, lp, spec) for ls, lp in zip(spec.layers, params["layers"])
+    ]
+    composited = combine(frames)
+    out_fmt = get_format(spec.out_format)
+    saver = _saver_cached(spec.out_format, spec.out_col_spec, spec.gamma_mode)
+    return fio.from_rgba(out_fmt, composited, saver, w, h)
+
+
+def _prewarm_coeffs(spec: ChannelSpec) -> None:
+    """Materialise every Loader/Saver the spec needs OUTSIDE any trace.
+
+    Coefficient bundles hold jnp constants; creating them lazily inside
+    a jit trace would cache tracers (classic leak).  Called by every
+    program builder before tracing."""
+    for ls in spec.layers:
+        for fmt in (ls.src_format, ls.src_b_format, ls.mask_format):
+            if fmt is not None:
+                _loader(fmt, spec)
+    _saver_cached(spec.out_format, spec.out_col_spec, spec.gamma_mode)
+
+
+@lru_cache(maxsize=None)
+def make_channel_program(spec: ChannelSpec):
+    """Compile (lazily, cached) the fused frame program for a channel
+    structure.  Returned callable: params pytree -> packed output planes."""
+    _prewarm_coeffs(spec)
+
+    @jax.jit
+    def program(params):
+        return _channel_frame(spec, params)
+
+    return program
+
+
+# ------------------------- modular stage programs (runtime pipelines) --
+
+
+@lru_cache(maxsize=None)
+def make_unpack_program(
+    fmt_name: str, width: int, height: int, col_spec: str, out_col_spec: str, gamma_mode: str = "analytic"
+):
+    """Producer-side ToRGBA as its own jitted stage (io.ts:26-114)."""
+    fmt = get_format(fmt_name)
+    loader = make_loader(fmt.INFO, col_spec, out_col_spec, gamma_mode)
+
+    @jax.jit
+    def program(planes):
+        return fio.to_rgba(fmt, planes, loader, width, height)
+
+    return program
+
+
+@lru_cache(maxsize=None)
+def make_pack_program(
+    fmt_name: str, width: int, height: int, col_spec: str, gamma_mode: str = "analytic"
+):
+    """Consumer-side FromRGBA as its own jitted stage (io.ts:116-179)."""
+    fmt = get_format(fmt_name)
+    saver = make_saver(fmt.INFO, col_spec, gamma_mode)
+
+    @jax.jit
+    def program(rgba):
+        return fio.from_rgba(fmt, rgba, saver, width, height)
+
+    return program
+
+
+@lru_cache(maxsize=None)
+def make_yadif_program(tff: bool, skip_spatial: bool):
+    """Standalone deinterlace step over a 3-frame ring."""
+
+    @jax.jit
+    def program(prev, cur, next_, parity):
+        return yadif_frame(prev, cur, next_, parity, tff, skip_spatial)
+
+    return program

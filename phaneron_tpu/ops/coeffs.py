@@ -34,7 +34,7 @@ from .quant import u16_sat_rte
 
 __all__ = ["Gamma", "Loader", "Saver", "make_loader", "make_saver", "DEFAULT_GAMMA_MODE"]
 
-DEFAULT_GAMMA_MODE = "lut"
+DEFAULT_GAMMA_MODE = "analytic"
 
 
 @dataclass(frozen=True)

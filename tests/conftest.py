@@ -1,12 +1,14 @@
 """Test configuration: run everything on CPU jaxlib with a virtual
 8-device mesh so multi-chip sharding paths compile and execute without
-TPU hardware (BASELINE configs[0])."""
+TPU hardware (BASELINE configs[0]).
 
-import os
+The image's sitecustomize registers the 'axon' TPU backend at
+interpreter start and pins JAX_PLATFORMS=axon, so env vars alone don't
+switch platforms — use jax.config before any backend initialisation.
+TPU execution is covered by bench.py and the driver's compile checks.
+"""
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
