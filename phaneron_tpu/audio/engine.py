@@ -1,0 +1,84 @@
+"""Host-side audio DSP.
+
+The reference routes all audio through libavfilter graphs: producer
+`amerge`, mixer `pan/volume` (mixer.ts:140-169), transitioner/combiner
+`amix` (transitioner.ts:83-121, combiner.ts:281-314) and consumer
+`asetnsamples` re-chunking (macadamConsumer.ts:207-218).  Audio rates
+are tiny next to video (8ch x 48kHz f32 = 1.5 MB/s), so the TPU build
+keeps this on the host in numpy with the same quantum (1024 samples,
+blackSilence.ts:40-49).
+
+Samples are planar float32 arrays shaped (channels, n) — fltp layout.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["silence", "apply_volume", "pan", "amix", "Rechunker", "interleave_s32"]
+
+QUANTUM = 1024  # samples per silence/source frame (blackSilence.ts:40)
+
+
+def silence(channels: int, n: int = QUANTUM) -> np.ndarray:
+    return np.zeros((channels, n), dtype=np.float32)
+
+
+def apply_volume(samples: np.ndarray, gain: float) -> np.ndarray:
+    """The volume filter (mixer.ts volume=...)."""
+    if gain == 1.0:
+        return samples
+    return samples * np.float32(gain)
+
+
+def pan(samples: np.ndarray, matrix: np.ndarray) -> np.ndarray:
+    """Channel-mapping mix: out[o] = sum_i matrix[o, i] * in[i]
+    (the ffmpeg pan=Nc|... filter the Mixer builds, mixer.ts:140-152)."""
+    return (matrix.astype(np.float32) @ samples).astype(np.float32)
+
+
+def amix(inputs: list[np.ndarray], normalize: bool = True) -> np.ndarray:
+    """Mix N inputs (ffmpeg amix semantics: inputs summed, scaled by the
+    active input count when normalize is on)."""
+    if not inputs:
+        raise ValueError("amix requires at least one input")
+    n = min(s.shape[1] for s in inputs)
+    acc = np.zeros((inputs[0].shape[0], n), dtype=np.float32)
+    for s in inputs:
+        acc += s[:, :n]
+    if normalize and len(inputs) > 1:
+        acc /= np.float32(len(inputs))
+    return acc
+
+
+class Rechunker:
+    """asetnsamples: arbitrary-size input chunks -> fixed-size frames."""
+
+    def __init__(self, channels: int, frame_samples: int):
+        self.channels = channels
+        self.frame_samples = frame_samples
+        self._pending = np.zeros((channels, 0), dtype=np.float32)
+
+    def push(self, samples: np.ndarray) -> list[np.ndarray]:
+        self._pending = np.concatenate([self._pending, samples], axis=1)
+        out = []
+        while self._pending.shape[1] >= self.frame_samples:
+            out.append(self._pending[:, : self.frame_samples].copy())
+            self._pending = self._pending[:, self.frame_samples :]
+        return out
+
+    def flush(self) -> np.ndarray | None:
+        """Remaining samples zero-padded to one frame (end of stream)."""
+        if self._pending.shape[1] == 0:
+            return None
+        pad = self.frame_samples - self._pending.shape[1]
+        out = np.pad(self._pending, ((0, 0), (0, pad)))
+        self._pending = np.zeros((self.channels, 0), dtype=np.float32)
+        return out
+
+
+def interleave_s32(samples: np.ndarray) -> np.ndarray:
+    """Planar float -> interleaved signed 32-bit (the SDI consumer's
+    fltp->s32 conversion, macadamConsumer.ts:135-158)."""
+    clipped = np.clip(samples, -1.0, 1.0 - 2.0**-31)
+    return (clipped.T.reshape(-1) * (2.0**31)).astype(np.int32)

@@ -1,0 +1,98 @@
+"""MJPEG HTTP streaming consumer — the cluster transport.
+
+Parity with the reference FFmpegConsumer (consumer/ffmpegConsumer.ts:
+163-258): frames encode to JPEG and stream as multipart/x-mixed-replace
+(mpjpeg) on an HTTP port; a peer server's producer ingests the stream.
+JPEG encoding uses PIL on the host (the reference used libavcodec's
+mjpeg encoder on the CPU too); colour conversion + 8-bit packing stay
+on the TPU via the rgba8 pack program."""
+
+from __future__ import annotations
+
+import asyncio
+import io
+from typing import Optional
+
+import numpy as np
+
+from ..graph.pipeline import make_pack_program
+from .consumer import ChannelFrame, Consumer
+
+__all__ = ["MJPEGConsumer"]
+
+BOUNDARY = b"phaneronframe"
+
+
+class MJPEGConsumer(Consumer):
+    pix_format = None
+
+    def __init__(self, params: dict | None = None):
+        super().__init__(params)
+        self.port = int(self.params.get("port", 3000))
+        self.quality = int(self.params.get("quality", 85))
+        self._clients: list[asyncio.StreamWriter] = []
+        self._server: Optional[asyncio.AbstractServer] = None
+        self._busy = False
+
+    async def initialise(self, fmt) -> None:
+        await super().initialise(fmt)
+        self._pack = make_pack_program("rgba8", fmt.width, fmt.height, "sRGB")
+        self._server = await asyncio.start_server(self._handle, "0.0.0.0", self.port)
+
+    async def _handle(self, reader, writer):
+        try:
+            await reader.readline()
+            while (await reader.readline()).strip():
+                pass
+            writer.write(
+                b"HTTP/1.1 200 OK\r\n"
+                b"Content-Type: multipart/x-mixed-replace; boundary=" + BOUNDARY + b"\r\n"
+                b"Access-Control-Allow-Origin: *\r\n\r\n"
+            )
+            await writer.drain()
+            self._clients.append(writer)
+        except ConnectionResetError:
+            writer.close()
+
+    async def deliver(self, frame: ChannelFrame) -> None:
+        if frame.rgba is None or not self._clients or self._busy:
+            return
+        self._busy = True
+        try:
+            try:
+                from PIL import Image
+            except ImportError:
+                return
+            planes = self._pack(frame.rgba)
+            rgba = np.asarray(planes[0])
+            img = Image.fromarray(rgba[:, :, :3], "RGB")
+            buf = io.BytesIO()
+            img.save(buf, "JPEG", quality=self.quality)
+            jpeg = buf.getvalue()
+            part = (
+                b"--" + BOUNDARY + b"\r\n"
+                b"Content-Type: image/jpeg\r\n"
+                + f"Content-Length: {len(jpeg)}\r\n\r\n".encode()
+                + jpeg
+                + b"\r\n"
+            )
+            dead = []
+            for w in self._clients:
+                try:
+                    w.write(part)
+                    await w.drain()
+                except (ConnectionResetError, BrokenPipeError):
+                    dead.append(w)
+            for w in dead:
+                self._clients.remove(w)
+                w.close()
+        finally:
+            self._busy = False
+
+    def release(self) -> None:
+        for w in self._clients:
+            w.close()
+        self._clients.clear()
+        if self._server:
+            self._server.close()
+            self._server = None

@@ -1,0 +1,77 @@
+"""Web preview consumer: latest frame as raw RGBA over HTTP.
+
+Parity with the reference ScreenConsumer's HTTP side
+(consumer/screenConsumer.ts:85-92,218): the most recent frame is kept
+packed as rgba8 (sRGB) and served at GET / with CORS headers so a web
+page can poll it.  PortAudio monitoring has no TPU-cloud analogue; the
+audio interface is kept (last chunk retrievable at /audio)."""
+
+from __future__ import annotations
+
+import asyncio
+from typing import Optional
+
+import numpy as np
+
+from ..graph.pipeline import make_pack_program
+from .consumer import ChannelFrame, Consumer
+
+__all__ = ["PreviewConsumer"]
+
+
+class PreviewConsumer(Consumer):
+    pix_format = None  # packs its own rgba8/sRGB from the RGBA frame
+
+    def __init__(self, params: dict | None = None):
+        super().__init__(params)
+        self.port = int(self.params.get("port", 3001))
+        self._last: Optional[bytes] = None
+        self._last_audio: Optional[bytes] = None
+        self._server: Optional[asyncio.AbstractServer] = None
+        self._busy = False
+
+    async def initialise(self, fmt) -> None:
+        await super().initialise(fmt)
+        # sRGB gamma for display (screenConsumer.ts:128-133)
+        self._pack = make_pack_program("rgba8", fmt.width, fmt.height, "sRGB")
+        self._server = await asyncio.start_server(self._handle, "0.0.0.0", self.port)
+
+    async def deliver(self, frame: ChannelFrame) -> None:
+        if frame.rgba is None or self._busy:
+            return  # latest-wins: drop when still converting the previous
+        self._busy = True
+        try:
+            planes = self._pack(frame.rgba)
+            self._last = np.asarray(planes[0]).tobytes()
+            self._last_audio = frame.audio.tobytes()
+        finally:
+            self._busy = False
+
+    async def _handle(self, reader, writer):
+        try:
+            request = await reader.readline()
+            while (await reader.readline()).strip():
+                pass
+            path = request.split()[1].decode() if len(request.split()) > 1 else "/"
+            body = self._last_audio if path.startswith("/audio") else self._last
+            if body is None:
+                writer.write(b"HTTP/1.1 503 Service Unavailable\r\n\r\n")
+            else:
+                head = (
+                    "HTTP/1.1 200 OK\r\n"
+                    "Content-Type: application/octet-stream\r\n"
+                    f"Content-Length: {len(body)}\r\n"
+                    f"X-Width: {self.fmt.width}\r\nX-Height: {self.fmt.height}\r\n"
+                    "Access-Control-Allow-Origin: *\r\n\r\n"
+                )
+                writer.write(head.encode() + body)
+            await writer.drain()
+        except (ConnectionResetError, IndexError):
+            pass
+        finally:
+            writer.close()
+
+    def release(self) -> None:
+        if self._server:
+            self._server.close()
+            self._server = None

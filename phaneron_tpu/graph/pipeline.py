@@ -68,6 +68,8 @@ class ChannelSpec(NamedTuple):
     out_col_spec: str = "709"
     gamma_mode: str = "analytic"
     tff: bool = True
+    emit_rgba: bool = False  # also return the composited RGBA (route taps,
+    # secondary consumers with different pack formats)
 
 
 def _unpack(fmt_name: str, planes, spec: ChannelSpec):
@@ -100,6 +102,9 @@ def _layer_source(lspec: LayerSpec, fmt_name: str, src: dict, key: str, spec: Ch
         return yadif_frame(
             ring[0], ring[1], ring[2], src["parity"], spec.tff, skip_spatial=False
         )
+    if fmt_name == "rgba_f32":
+        # already-unpacked RGBA (route producer fork of a combiner output)
+        return src[key]
     return _unpack(fmt_name, src[key], spec)
 
 
@@ -128,8 +133,9 @@ def _process_layer(lspec: LayerSpec, lparams: dict, spec: ChannelSpec) -> jnp.nd
     return rgba_b * m + rgba * (1.0 - m)
 
 
-def _channel_frame(spec: ChannelSpec, params: dict) -> list[jnp.ndarray]:
-    """params = {'layers': [per-layer dicts bottom..top]} -> packed planes."""
+def _channel_frame(spec: ChannelSpec, params: dict):
+    """params = {'layers': [per-layer dicts bottom..top]} -> packed planes
+    (and the composited RGBA when spec.emit_rgba)."""
     h, w = spec.height, spec.width
     black = jnp.zeros((4, h, w), dtype=jnp.float32)  # Black generator
     frames = [black] + [
@@ -138,7 +144,10 @@ def _channel_frame(spec: ChannelSpec, params: dict) -> list[jnp.ndarray]:
     composited = combine(frames)
     out_fmt = get_format(spec.out_format)
     saver = _saver_cached(spec.out_format, spec.out_col_spec, spec.gamma_mode)
-    return fio.from_rgba(out_fmt, composited, saver, w, h)
+    packed = fio.from_rgba(out_fmt, composited, saver, w, h)
+    if spec.emit_rgba:
+        return {"packed": packed, "rgba": composited}
+    return packed
 
 
 def _prewarm_coeffs(spec: ChannelSpec) -> None:
@@ -149,7 +158,7 @@ def _prewarm_coeffs(spec: ChannelSpec) -> None:
     program builder before tracing."""
     for ls in spec.layers:
         for fmt in (ls.src_format, ls.src_b_format, ls.mask_format):
-            if fmt is not None:
+            if fmt is not None and fmt != "rgba_f32":
                 _loader(fmt, spec)
     _saver_cached(spec.out_format, spec.out_col_spec, spec.gamma_mode)
 

@@ -1,0 +1,164 @@
+"""Raw media file producer: headerless packed video (+ optional PCM).
+
+The file-ingest role of the reference's FFmpegProducer
+(producer/ffmpegProducer.ts) for environments without codec libraries:
+plays raw v210 / yuv422p10le / yuv422p8 / yuv420p / nv12 / rgba8 frame
+sequences with SEEK / LENGTH / LOOP semantics
+(ffmpegProducer.ts:170-174,325-331).
+
+Geometry/format resolution, in order:
+1. sidecar JSON `<file>.json`: {"format": "v210", "width": 1920,
+   "height": 1080, "fps": 50, "interlaced": false,
+   "audio": "<file>.pcm", "audio_channels": 8}
+2. filename convention `name.1920x1080.v210`
+3. extension matching a known format + the channel's geometry
+
+Audio: optional side PCM file (float32 planar blocks per QUANTUM) or
+silence.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+
+import numpy as np
+
+from ..audio.engine import QUANTUM, silence
+from ..config import VideoFormat
+from ..ops.formats import FORMATS, get_format
+from ..runtime.frame import AudioFrame, VideoFrame
+from ..runtime.stream import END, Stream, from_generator
+from .producer import InvalidProducerError, LoadParams, Producer
+
+__all__ = ["create_raw_file_producer"]
+
+
+def _resolve(path: Path, fmt: VideoFormat, params: LoadParams):
+    meta = {}
+    sidecar = path.with_suffix(path.suffix + ".json")
+    if sidecar.exists():
+        meta = json.loads(sidecar.read_text())
+    name_bits = path.name.split(".")
+    pix = meta.get("format")
+    width, height = meta.get("width"), meta.get("height")
+    if pix is None and len(name_bits) >= 2 and name_bits[-1].lower() in FORMATS:
+        pix = name_bits[-1].lower()
+        if len(name_bits) >= 3 and "x" in name_bits[-2]:
+            try:
+                width, height = (int(v) for v in name_bits[-2].split("x"))
+            except ValueError:
+                pass
+    if pix is None:
+        raise InvalidProducerError(f"not a raw media file: {path}")
+    width = width or params.extra.get("width") or fmt.width
+    height = height or params.extra.get("height") or fmt.height
+    return pix, int(width), int(height), meta
+
+
+class RawFileProducer(Producer):
+    def __init__(self, source_id: str, params: LoadParams, fmt: VideoFormat):
+        super().__init__(source_id, fmt)
+        url = params.url
+        if url.upper().startswith(("ROUTE://", "BARS", "RAMP", "BLACK", "HTTP")):
+            raise InvalidProducerError("not a file path")
+        self.path = Path(url)
+        if not self.path.exists():
+            raise InvalidProducerError(f"no such file: {url}")
+        self.pix_format, self.width, self.height, self.meta = _resolve(
+            self.path, fmt, params
+        )
+        self.params = params
+        self.loop = params.loop
+        self.interlaced = bool(self.meta.get("interlaced", False))
+        self._mm: np.memmap | None = None
+
+    async def initialise(self) -> None:
+        fmt_mod = get_format(self.pix_format)
+        self.plane_shapes = fmt_mod.plane_shapes(self.width, self.height)
+        self.frame_bytes = sum(fmt_mod.num_bytes(self.width, self.height))
+        size = os.path.getsize(self.path)
+        self.num_frames = size // self.frame_bytes
+        if self.num_frames == 0:
+            raise InvalidProducerError(f"file smaller than one frame: {self.path}")
+        self._mm = np.memmap(self.path, dtype=np.uint8, mode="r")
+        self._fmt_mod = fmt_mod
+
+    def _frame_planes(self, index: int):
+        import jax
+
+        off = index * self.frame_bytes
+        raw = bytes(self._mm[off : off + self.frame_bytes])
+        planes = self._fmt_mod.from_bytes(raw, self.width, self.height)
+        return [jax.device_put(p) for p in planes]
+
+    def video_stream(self) -> Stream:
+        seek = self.params.seek
+        length = self.params.length
+
+        async def gen():
+            ts = 0
+            idx = seek % self.num_frames if self.num_frames else 0
+            remaining = length if length is not None else None
+            while not self.released:
+                if remaining is not None and remaining <= 0:
+                    break
+                if idx >= self.num_frames:
+                    if self.loop:
+                        idx = seek % self.num_frames  # loop wrap re-seek
+                    else:
+                        break
+                yield VideoFrame(
+                    timestamp=ts,
+                    format=self.pix_format,
+                    payload=self._frame_planes(idx),
+                    width=self.width,
+                    height=self.height,
+                    interlaced=self.interlaced,
+                )
+                ts += 1
+                idx += 1
+                if remaining is not None:
+                    remaining -= 1
+            yield END
+
+        return from_generator(gen)
+
+    def audio_stream(self) -> Stream:
+        rate = self.fmt.audio_sample_rate
+        channels = self.fmt.audio_channels
+        audio_path = self.meta.get("audio")
+        pcm = None
+        if audio_path:
+            p = Path(audio_path)
+            if not p.is_absolute():
+                p = self.path.parent / p
+            if p.exists():
+                pcm = np.memmap(p, dtype=np.float32, mode="r")
+                channels = int(self.meta.get("audio_channels", channels))
+
+        async def gen():
+            ts = 0
+            off = 0
+            while not self.released:
+                if pcm is not None:
+                    block = channels * QUANTUM
+                    if off + block > len(pcm):
+                        if self.loop:
+                            off = 0
+                        else:
+                            break
+                    chunk = np.asarray(pcm[off : off + block]).reshape(channels, QUANTUM)
+                    off += block
+                else:
+                    chunk = silence(channels)
+                yield AudioFrame(timestamp=ts, samples=chunk, sample_rate=rate)
+                ts += 1
+            yield END
+
+        return from_generator(gen)
+
+
+def create_raw_file_producer(source_id, params, fmt) -> RawFileProducer:
+    return RawFileProducer(source_id, params, fmt)

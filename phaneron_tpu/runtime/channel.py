@@ -1,0 +1,345 @@
+"""Channel: the per-output frame engine.
+
+Parity with the reference Channel + Combiner pair (src/channel.ts,
+src/combiner.ts): owns a sorted map of layers, assembles the bottom-to-
+top composite each tick, assigns monotonic channel timestamps
+(combiner.ts:211), pads empty channels with black/silence
+(blackSilence.ts), fans output out to consumers and ROUTE taps
+(combiner.ts:339-359), and routes AMCP load/play/mixer commands.
+
+The combiner's generated combine_N kernel + job-queue submission is
+replaced by the fused channel program: every tick builds the structural
+ChannelSpec from live layer state and dispatches ONE jitted TPU program
+(compiled once per structure, cached)."""
+
+from __future__ import annotations
+
+import asyncio
+import time
+from typing import Any, Optional
+
+import numpy as np
+
+from ..audio.engine import amix, silence
+from ..config import VideoFormat
+from ..consumer.consumer import ChannelFrame, Consumer
+from ..graph.pipeline import ChannelSpec, make_channel_program
+from ..producer.producer import LoadParams, ProducerRegistry
+from ..runtime.clock import FrameClock
+from ..runtime.frame import RGBA_F32, AudioFrame, VideoFrame
+from ..runtime.layer import Layer
+from ..runtime.mixer import Mixer
+from ..runtime.stream import END, Stream, from_generator
+from ..runtime.types import TransitionSpec
+
+__all__ = ["Channel"]
+
+
+class _Tap:
+    """A ROUTE subscriber: bounded queues, latest-wins on overflow so a
+    slow route can never stall the channel."""
+
+    def __init__(self, maxsize: int = 4):
+        self.video: asyncio.Queue = asyncio.Queue(maxsize=maxsize)
+        self.audio: asyncio.Queue = asyncio.Queue(maxsize=maxsize)
+        self.active = True
+
+    def push(self, vframe, aframe) -> None:
+        for q, item in ((self.video, vframe), (self.audio, aframe)):
+            if q.full():
+                try:
+                    q.get_nowait()  # drop oldest
+                except asyncio.QueueEmpty:
+                    pass
+            q.put_nowait(item)
+
+    def streams(self) -> tuple[Stream, Stream]:
+        def make(q):
+            async def gen():
+                while self.active:
+                    item = await q.get()
+                    yield item
+                    if item is END:
+                        return
+
+            return from_generator(gen)
+
+        return make(self.video), make(self.audio)
+
+
+class Channel:
+    def __init__(
+        self,
+        chan_id: int,
+        fmt: VideoFormat,
+        producer_registry: ProducerRegistry,
+        out_format: str = "v210",
+        col_spec: str = "709",
+        gamma_mode: str = "analytic",
+    ):
+        self.chan_id = chan_id
+        self.fmt = fmt
+        self.producer_registry = producer_registry
+        self.out_format = out_format
+        self.col_spec = col_spec
+        self.gamma_mode = gamma_mode
+        self.layers: dict[int, Layer] = {}
+        self.consumers: list[Consumer] = []
+        self.clock = FrameClock(fmt.timescale, fmt.duration)
+        self.taps: list[_Tap] = []
+        self.layer_taps: dict[int, list[_Tap]] = {}
+        self.running = False
+        self.timestamp = 0
+        self._task: Optional[asyncio.Task] = None
+        # per-frame latency stats (SURVEY.md §5.1 first-class metric)
+        self.frame_times: list[float] = []
+
+    # ----------------------------------------------------------- layers
+
+    def layer(self, num: int) -> Layer:
+        if num not in self.layers:
+            self.layers[num] = Layer(self.fmt, self.col_spec, self.gamma_mode)
+        return self.layers[num]
+
+    async def load_source(
+        self,
+        layer_num: int,
+        params: LoadParams,
+        preview: bool = False,
+        auto_play: bool = False,
+        transition: Optional[TransitionSpec] = None,
+    ) -> bool:
+        """LOADBG/LOAD (channel.ts:128-209): create producer + mixer
+        (+ wipe-mask producer) and bind to the layer."""
+        source_id = f"{self.chan_id}-{layer_num}"
+        producer = await self.producer_registry.create_source(
+            source_id, params, self.fmt
+        )
+        if producer is None:
+            return False
+        mixer = Mixer(self.fmt.width, self.fmt.height)
+
+        mask_producer = None
+        mask_mixer = None
+        if transition is not None and transition.type == "wipe" and transition.mask_url:
+            mask_producer = await self.producer_registry.create_source(
+                f"{source_id}-mask", LoadParams(transition.mask_url, loop=True), self.fmt
+            )
+            if mask_producer is not None:
+                mask_mixer = Mixer(self.fmt.width, self.fmt.height)
+
+        self.layer(layer_num).load(
+            producer,
+            mixer,
+            preview=preview,
+            auto_play=auto_play,
+            transition=transition,
+            mask_producer=mask_producer,
+            mask_mixer=mask_mixer,
+        )
+        return True
+
+    def play(self, layer_num: int) -> bool:
+        if layer_num not in self.layers:
+            return False
+        self.layers[layer_num].play()
+        return True
+
+    def pause(self, layer_num: int) -> bool:
+        if layer_num not in self.layers:
+            return False
+        self.layers[layer_num].pause()
+        return True
+
+    def resume(self, layer_num: int) -> bool:
+        if layer_num not in self.layers:
+            return False
+        self.layers[layer_num].resume()
+        return True
+
+    def stop(self, layer_num: int) -> bool:
+        if layer_num not in self.layers:
+            return False
+        self.layers[layer_num].stop()
+        return True
+
+    def clear(self, layer_num: Optional[int] = None) -> bool:
+        """CLEAR layer or whole channel (channel.ts:242-264)."""
+        if layer_num is None:
+            for l in self.layers.values():
+                l.clear()
+            self.layers.clear()
+            return True
+        if layer_num not in self.layers:
+            return False
+        self.layers.pop(layer_num).clear()
+        return True
+
+    # -------------------------------------------------------- consumers
+
+    async def add_consumer(self, consumer: Consumer) -> None:
+        await consumer.initialise(self.fmt)
+        self.consumers.append(consumer)
+
+    def remove_consumer(self, index: int) -> bool:
+        for i, c in enumerate(self.consumers):
+            if c.index == index:
+                c.release()
+                del self.consumers[i]
+                return True
+        return False
+
+    # ------------------------------------------------------ ROUTE pipes
+
+    def route_pipes(self, layer: Optional[int] = None):
+        """getRoutePipes (channel.ts:290-300): whole-channel taps get the
+        combiner RGBA output; layer taps get that layer's source frames."""
+        tap = _Tap()
+        if layer is None:
+            self.taps.append(tap)
+            video, audio = tap.streams()
+            return video, audio, RGBA_F32
+        self.layer_taps.setdefault(layer, []).append(tap)
+        video, audio = tap.streams()
+        lay = self.layers.get(layer)
+        fmt = "v210"
+        if lay is not None and lay.cur is not None:
+            fmt = lay.cur.layer_spec_fields()["src_format"]
+        return video, audio, fmt
+
+    # ------------------------------------------------------- frame loop
+
+    def _needs_rgba(self) -> bool:
+        if self.taps:
+            return True
+        return any(
+            c.pix_format is None or c.pix_format != self.out_format
+            for c in self.consumers
+        )
+
+    async def render_frame(self) -> ChannelFrame:
+        """Assemble and dispatch one channel frame (the per-tick hot path)."""
+        t0 = time.monotonic()
+        contribs = []
+        contrib_layers = []
+        for num in sorted(self.layers):
+            lay = self.layers[num]
+            if not lay.visible:
+                continue
+            c = await lay.poll()
+            if c is not None:
+                contribs.append(c)
+                contrib_layers.append(num)
+
+        spec = ChannelSpec(
+            self.fmt.width,
+            self.fmt.height,
+            self.out_format,
+            tuple(c.spec for c in contribs),
+            self.col_spec,
+            self.col_spec,
+            self.gamma_mode,
+            emit_rgba=self._needs_rgba(),
+        )
+        program = make_channel_program(spec)
+        out = program({"layers": [c.params for c in contribs]})
+        if isinstance(out, dict):
+            packed, rgba = out["packed"], out["rgba"]
+        else:
+            packed, rgba = out, None
+
+        audio = (
+            amix([c.audio for c in contribs])
+            if contribs
+            else silence(self.fmt.audio_channels, self.fmt.samples_per_frame)
+        )
+
+        frame = ChannelFrame(
+            timestamp=self.timestamp,
+            packed=packed,
+            rgba=rgba,
+            audio=audio,
+            width=self.fmt.width,
+            height=self.fmt.height,
+            packed_format=self.out_format,
+        )
+
+        # ROUTE taps (zero-copy fan-out of the immutable device array)
+        if self.taps and rgba is not None:
+            vf = VideoFrame(
+                timestamp=self.timestamp,
+                format=RGBA_F32,
+                payload=rgba,
+                width=self.fmt.width,
+                height=self.fmt.height,
+            )
+            af = AudioFrame(timestamp=self.timestamp, samples=audio)
+            for tap in self.taps:
+                tap.push(vf, af)
+        for num, taps in self.layer_taps.items():
+            idx = contrib_layers.index(num) if num in contrib_layers else -1
+            if idx < 0:
+                continue
+            c = contribs[idx]
+            payload = c.params.get("src")
+            if payload is None:
+                continue
+            vf = VideoFrame(
+                timestamp=self.timestamp,
+                format=c.spec.src_format,
+                payload=payload,
+                width=self.fmt.width,
+                height=self.fmt.height,
+            )
+            af = AudioFrame(timestamp=self.timestamp, samples=c.audio)
+            for tap in taps:
+                tap.push(vf, af)
+
+        self.timestamp += 1
+        self.frame_times.append(time.monotonic() - t0)
+        if len(self.frame_times) > 500:
+            del self.frame_times[:250]
+        return frame
+
+    async def run(self) -> None:
+        self.running = True
+        self.clock.reset()
+        frame_num = 0
+        while self.running:
+            await self.clock.wait(frame_num)
+            frame = await self.render_frame()
+            if self.consumers:
+                await asyncio.gather(*(c.deliver(frame) for c in self.consumers))
+            frame_num += 1
+
+    def start(self) -> None:
+        if self._task is None or self._task.done():
+            self._task = asyncio.create_task(self.run())
+
+    async def shutdown(self) -> None:
+        self.running = False
+        if self._task:
+            self._task.cancel()
+            try:
+                await self._task
+            except asyncio.CancelledError:
+                pass
+        self.clear(None)
+        for c in self.consumers:
+            c.release()
+        self.consumers.clear()
+
+    # --------------------------------------------------------- metrics
+
+    def stats(self) -> dict[str, Any]:
+        ft = np.asarray(self.frame_times[-200:]) if self.frame_times else np.zeros(1)
+        return {
+            "channel": self.chan_id,
+            "format": self.fmt.name,
+            "frames": self.timestamp,
+            "late_frames": self.clock.late_frames,
+            "render_p50_ms": float(np.percentile(ft, 50) * 1e3),
+            "render_p99_ms": float(np.percentile(ft, 99) * 1e3),
+            "layers": sorted(self.layers),
+            "consumers": len(self.consumers),
+        }

@@ -1,0 +1,401 @@
+"""Layer: foreground/background source slots, transitions, lifecycle.
+
+Parity with the reference Layer + Transitioner pair (src/layer.ts,
+src/transitioner.ts): a current and a next source spec, LOADBG/PLAY
+promotion, cut/dissolve/wipe transitions with frame-counted progress
+(mix = 1 - k/len, transitioner.ts:170), AUTO-play chaining and
+'end'/'transitionComplete' events (layer.ts:128-162).
+
+Instead of per-stage kernel valves, a Layer contributes a
+(LayerSpec, params, audio) triple per channel tick; the channel fuses
+all layers into one jitted program.  Cadence adaptation (25 fps sources
+on a 50 Hz channel, field-rate doubling for interlaced sources via the
+yadif ring) happens here (ffmpegProducer.ts:557-566, yadif.ts:115-145).
+"""
+
+from __future__ import annotations
+
+import asyncio
+from collections import deque
+from typing import Callable, Optional
+
+import numpy as np
+
+from ..audio.engine import Rechunker, amix, apply_volume, silence
+from ..config import VideoFormat
+from ..graph.pipeline import LayerSpec, make_unpack_program
+from ..runtime.frame import RGBA_F32, VideoFrame
+from ..runtime.mixer import Mixer
+from ..runtime.stream import END
+from .types import LayerContribution, TransitionSpec
+
+__all__ = ["Layer", "SourceSlot", "TransitionSpec"]
+
+
+class SourceSlot:
+    """One bound producer + mixer with pull cadence and yadif ring."""
+
+    def __init__(
+        self,
+        producer,
+        mixer: Mixer,
+        channel_fmt: VideoFormat,
+        col_spec: str = "709",
+        gamma_mode: str = "analytic",
+    ):
+        self.producer = producer
+        self.mixer = mixer
+        self.channel_fmt = channel_fmt
+        self.col_spec = col_spec
+        self.gamma_mode = gamma_mode
+        self.video = producer.video_stream()
+        self.audio = producer.audio_stream()
+        self.rechunker = Rechunker(
+            channel_fmt.audio_channels, channel_fmt.samples_per_frame
+        )
+        self.audio_chunks: deque = deque()
+        self.audio_ended = False
+        self.last: Optional[VideoFrame] = None
+        self.ended = False
+        self.paused = True
+        self.frames_seen = 0
+        self.ticks = 0
+        # interlaced sources double to field rate via the yadif ring
+        self.ring: deque = deque(maxlen=3)
+        self._unpack = None
+
+    @property
+    def interlaced(self) -> bool:
+        return self.last.interlaced if self.last else self.producer.fmt.interlaced
+
+    def _pull_ratio(self) -> int:
+        """Channel ticks per source frame."""
+        src_fps = self.producer.fmt.fps / self.producer.fmt.fields
+        ratio = self.channel_fmt.fps / max(src_fps, 1e-9)
+        return max(1, round(ratio))
+
+    async def _pull_video(self) -> None:
+        frame = await self.video.next()
+        if frame is END:
+            self.ended = True
+            return
+        self.last = frame
+        self.frames_seen += 1
+        if frame.interlaced:
+            if self._unpack is None and frame.format != RGBA_F32:
+                self._unpack = make_unpack_program(
+                    frame.format,
+                    frame.width,
+                    frame.height,
+                    self.col_spec,
+                    self.col_spec,
+                    self.gamma_mode,
+                )
+            rgba = frame.payload if frame.format == RGBA_F32 else self._unpack(frame.payload)
+            self.ring.append(rgba)
+
+    async def tick(self) -> Optional[dict]:
+        """Advance one channel tick; return graph params for this source
+        (or None when not yet ready)."""
+        ratio = self._pull_ratio()
+        need_pull = (not self.paused) and (self.last is None or self.ticks % ratio == 0)
+        if need_pull and not self.ended:
+            await self._pull_video()
+        tick_in_frame = self.ticks % ratio
+        self.ticks += 1
+
+        if self.last is None:
+            return None
+
+        if self.interlaced and self.last.format != RGBA_F32:
+            if len(self.ring) < 3:
+                return None
+            import jax.numpy as jnp
+
+            # field parity: first output field (tff) keeps even rows
+            # (parity tff^1, yadif.ts:104), second keeps odd
+            is_second = tick_in_frame % 2 == 1
+            parity = (1 if self.last.tff else 0) ^ (0 if is_second else 1)
+            return {
+                "src_ring": jnp.stack(list(self.ring)),
+                "parity": jnp.int32(parity),
+            }
+        return {"src": self.last.payload}
+
+    def layer_spec_fields(self) -> dict:
+        """Static structure this slot contributes to the LayerSpec."""
+        fmt = self.last.format if self.last else self.producer.pix_format
+        deint = self.interlaced and fmt != RGBA_F32
+        return {
+            "src_format": RGBA_F32 if deint else fmt,
+            "deinterlace": deint,
+        }
+
+    async def audio_tick(self) -> np.ndarray:
+        while not self.audio_chunks and not self.audio_ended and not self.paused:
+            af = await self.audio.next()
+            if af is END:
+                self.audio_ended = True
+                tail = self.rechunker.flush()
+                if tail is not None:
+                    self.audio_chunks.append(tail)
+                break
+            self.audio_chunks.extend(self.rechunker.push(af.samples))
+        if self.paused or not self.audio_chunks:
+            return silence(self.channel_fmt.audio_channels, self.channel_fmt.samples_per_frame)
+        return apply_volume(self.audio_chunks.popleft(), self.mixer.audio_gain())
+
+    def set_paused(self, paused: bool) -> None:
+        self.paused = paused
+        self.producer.set_paused(paused)
+
+    def release(self) -> None:
+        self.producer.release()
+        self.video.stop()
+        self.audio.stop()
+
+
+class Layer:
+    """Current/next source slots with transition lifecycle (layer.ts)."""
+
+    def __init__(self, channel_fmt: VideoFormat, col_spec="709", gamma_mode="analytic"):
+        self.channel_fmt = channel_fmt
+        self.col_spec = col_spec
+        self.gamma_mode = gamma_mode
+        self.cur: Optional[SourceSlot] = None
+        self.next: Optional[SourceSlot] = None
+        self.mask: Optional[SourceSlot] = None
+        self.transition: Optional[TransitionSpec] = None
+        self.transition_pos = 0
+        self.auto_play = False
+        self._end_cbs: list[Callable] = []
+        self._transition_done = asyncio.Event()
+
+    # ------------------------------------------------------- lifecycle
+
+    def _slot(self, producer, mixer) -> SourceSlot:
+        return SourceSlot(producer, mixer, self.channel_fmt, self.col_spec, self.gamma_mode)
+
+    def load(
+        self,
+        producer,
+        mixer: Mixer,
+        preview: bool = False,
+        auto_play: bool = False,
+        transition: Optional[TransitionSpec] = None,
+        mask_producer=None,
+        mask_mixer: Optional[Mixer] = None,
+    ) -> None:
+        """LOADBG/LOAD (layer.ts:164-205): bind to the background slot;
+        with preview, promote immediately but stay paused."""
+        slot = self._slot(producer, mixer)
+        self.next = slot
+        self.auto_play = auto_play
+        self.pending_transition = transition
+        if mask_producer is not None:
+            self.mask = self._slot(mask_producer, mask_mixer or Mixer(1, 1))
+        if preview and self.cur is None:
+            self.cur = self.next
+            self.next = None
+            self.cur.set_paused(True)
+
+    def play(self) -> None:
+        """PLAY (layer.ts:207-237): promote next -> cur, with transition
+        when one was loaded."""
+        if self.next is not None:
+            tr = getattr(self, "pending_transition", None)
+            if tr is not None and tr.type != "cut" and self.cur is not None:
+                self.transition = tr
+                self.transition_pos = 0
+                self._transition_done.clear()
+                self.next.set_paused(False)
+                if self.mask:
+                    self.mask.set_paused(False)
+            else:
+                if self.cur:
+                    self.cur.release()
+                self.cur = self.next
+                self.next = None
+        if self.cur:
+            self.cur.set_paused(False)
+
+    def pause(self) -> None:
+        if self.cur:
+            self.cur.set_paused(True)
+
+    def resume(self) -> None:
+        if self.cur:
+            self.cur.set_paused(False)
+
+    def stop(self) -> None:
+        """STOP: release the current source, keep the layer (black)."""
+        if self.cur:
+            self.cur.release()
+            self.cur = None
+
+    def clear(self) -> None:
+        for slot in (self.cur, self.next, self.mask):
+            if slot:
+                slot.release()
+        self.cur = self.next = self.mask = None
+        self.transition = None
+
+    @property
+    def visible(self) -> bool:
+        return self.cur is not None
+
+    def on_end(self, cb: Callable) -> None:
+        self._end_cbs.append(cb)
+
+    async def wait_transition_complete(self) -> None:
+        if self.transition is not None:
+            await self._transition_done.wait()
+
+    # ----------------------------------------------- MIXER param routing
+
+    def _active_mixer(self) -> Optional[Mixer]:
+        slot = self.cur or self.next
+        return slot.mixer if slot else None
+
+    def set_anchor(self, x, y):
+        m = self._active_mixer()
+        return bool(m and m.set_anchor(x, y))
+
+    def set_fill(self, x, y, sx, sy):
+        m = self._active_mixer()
+        return bool(m and m.set_fill(x, y, sx, sy))
+
+    def set_rotation(self, turns):
+        m = self._active_mixer()
+        return bool(m and m.set_rotation(turns))
+
+    def set_volume(self, v):
+        m = self._active_mixer()
+        return bool(m and m.set_volume(v))
+
+    def query(self, name: str):
+        m = self._active_mixer()
+        if not m:
+            return None
+        return {
+            "anchor": m.anchor,
+            "fill": m.fill,
+            "rotation": m.rotation,
+            "volume": m.volume,
+        }.get(name)
+
+    # --------------------------------------------------------- per tick
+
+    def _fire_end(self):
+        for cb in self._end_cbs:
+            cb(self)
+
+    async def poll(self) -> Optional[LayerContribution]:
+        """One channel tick: returns this layer's graph contribution."""
+        if self.cur is None:
+            return None
+
+        cur_params = await self.cur.tick()
+        cur_fields = self.cur.layer_spec_fields()
+        mixer = self.cur.mixer
+        has_tf = not mixer.is_identity
+
+        if self.transition is not None and self.next is not None:
+            tr = self.transition
+            next_params = await self.next.tick()
+            self.transition_pos += 1
+            k = self.transition_pos
+            mix = max(0.0, 1.0 - k / max(tr.length, 1))
+
+            params: dict = {}
+            if cur_params:
+                params.update(cur_params)
+            if next_params:
+                nf = self.next.layer_spec_fields()
+                if "src" in next_params:
+                    params["src_b"] = next_params["src"]
+                else:
+                    params["src_b_ring"] = next_params["src_ring"]
+                    params["parity"] = next_params["parity"]
+                src_b_format = nf["src_format"]
+            else:
+                src_b_format = self.next.producer.pix_format
+
+            if has_tf:
+                import jax.numpy as jnp
+
+                params["matrix"] = jnp.asarray(mixer.matrix)
+                params["matrix_b"] = jnp.asarray(self.next.mixer.matrix)
+
+            spec_kwargs = dict(
+                transition=tr.type,
+                has_transform=has_tf,
+                axis_aligned=mixer.axis_aligned,
+                src_b_format=src_b_format,
+            )
+            if tr.type == "dissolve":
+                import jax.numpy as jnp
+
+                params["mix"] = jnp.float32(mix)
+            elif tr.type == "wipe" and self.mask is not None:
+                mask_params = await self.mask.tick()
+                if mask_params and "src" in mask_params:
+                    params["mask"] = mask_params["src"]
+                    spec_kwargs["mask_format"] = self.mask.last.format
+                else:  # mask not ready: degrade to cut-through of cur
+                    spec_kwargs["transition"] = "dissolve"
+                    import jax.numpy as jnp
+
+                    params["mix"] = jnp.float32(1.0)
+
+            audio = amix(
+                [await self.cur.audio_tick(), await self.next.audio_tick()],
+                normalize=True,
+            )
+
+            if k >= tr.length or self.cur.ended:
+                # promote (layer.ts:138-147)
+                self.cur.release()
+                if self.mask:
+                    self.mask.release()
+                    self.mask = None
+                self.cur = self.next
+                self.next = None
+                self.transition = None
+                self._transition_done.set()
+
+            if cur_params is None:
+                return None
+            spec = LayerSpec(src_format=cur_fields["src_format"],
+                             deinterlace=cur_fields["deinterlace"], **spec_kwargs)
+            return LayerContribution(spec, params, audio)
+
+        # ------- steady state: single source
+        if self.cur.ended and self.cur.frames_seen > 0 and not getattr(self.cur, "_end_fired", False):
+            self.cur._end_fired = True
+            self._fire_end()
+            if self.auto_play and self.next is not None:
+                self.cur.release()
+                self.cur = self.next
+                self.next = None
+                self.cur.set_paused(False)
+                cur_params = await self.cur.tick()
+                cur_fields = self.cur.layer_spec_fields()
+                mixer = self.cur.mixer
+                has_tf = not mixer.is_identity
+
+        if cur_params is None:
+            return None
+        params = dict(cur_params)
+        if has_tf:
+            import jax.numpy as jnp
+
+            params["matrix"] = jnp.asarray(mixer.matrix)
+        spec = LayerSpec(
+            src_format=cur_fields["src_format"],
+            deinterlace=cur_fields["deinterlace"],
+            has_transform=has_tf,
+            axis_aligned=mixer.axis_aligned,
+        )
+        audio = await self.cur.audio_tick()
+        return LayerContribution(spec, params, audio)

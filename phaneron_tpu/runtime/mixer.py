@@ -1,0 +1,105 @@
+"""Per-source mixer: DVE params + audio chain state.
+
+Parity with the reference Mixer (producer/mixer.ts:127-269): every
+loaded source owns one; MIXER ANCHOR/FILL/ROTATION update the video
+transform, MIXER VOLUME the audio gain.  Here the video side just
+maintains the host 3x3 matrix fed to the fused channel program as a
+traced argument — live updates never touch compiled code.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..ops.geometry import is_axis_aligned, transform_matrix
+
+__all__ = ["Mixer"]
+
+_DEFAULTS = dict(
+    anchor_x=0.0,
+    anchor_y=0.0,
+    scale_x=1.0,
+    scale_y=1.0,
+    offset_x=0.0,
+    offset_y=0.0,
+    rotate=0.0,
+    flip_h=False,
+    flip_v=False,
+)
+
+
+class Mixer:
+    def __init__(self, width: int, height: int):
+        self.width = width
+        self.height = height
+        self.params = dict(_DEFAULTS)
+        self.volume = 1.0
+        self.muted = False
+        self._matrix: np.ndarray | None = None
+
+    # ------------------------------------------------ video (DVE) params
+
+    def set_anchor(self, x: float, y: float) -> bool:
+        self.params["anchor_x"] = x
+        self.params["anchor_y"] = y
+        self._matrix = None
+        return True
+
+    def set_fill(self, x: float, y: float, sx: float, sy: float) -> bool:
+        """MIXER FILL: offset + scale (mixerCmds.ts / mixer.ts setMixParams)."""
+        self.params["offset_x"] = x
+        self.params["offset_y"] = y
+        self.params["scale_x"] = sx
+        self.params["scale_y"] = sy
+        self._matrix = None
+        return True
+
+    def set_rotation(self, turns: float) -> bool:
+        self.params["rotate"] = turns
+        self._matrix = None
+        return True
+
+    def set_flip(self, flip_h: bool, flip_v: bool) -> bool:
+        self.params["flip_h"] = flip_h
+        self.params["flip_v"] = flip_v
+        self._matrix = None
+        return True
+
+    @property
+    def anchor(self) -> tuple[float, float]:
+        return self.params["anchor_x"], self.params["anchor_y"]
+
+    @property
+    def fill(self) -> tuple[float, float, float, float]:
+        p = self.params
+        return p["offset_x"], p["offset_y"], p["scale_x"], p["scale_y"]
+
+    @property
+    def rotation(self) -> float:
+        return self.params["rotate"]
+
+    @property
+    def is_identity(self) -> bool:
+        """Default params -> the channel graph skips the warp entirely
+        (unlike the reference, which always runs its transform kernel —
+        SURVEY.md §7.1; skipping is both faster and sharper)."""
+        return self.params == _DEFAULTS
+
+    @property
+    def axis_aligned(self) -> bool:
+        return is_axis_aligned(self.matrix)
+
+    @property
+    def matrix(self) -> np.ndarray:
+        if self._matrix is None:
+            self._matrix = transform_matrix(self.width, self.height, **self.params)
+        return self._matrix
+
+    # --------------------------------------------------------- audio
+
+    def set_volume(self, volume: float) -> bool:
+        self.volume = volume
+        return True
+
+    def audio_gain(self) -> float:
+        return 0.0 if self.muted else self.volume
