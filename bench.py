@@ -1,10 +1,17 @@
 """Benchmark: fused unpack->composite->pack channel programs on the
 default device (the real TPU chip under the driver).
 
-Prints ONE JSON line: the UHD v210 single-layer round-trip — the
-BASELINE.json north-star metric (>=50 fps per UHD channel per chip).
-Secondary measurements (1080p 4-layer composite, p99 latencies, transfer
-costs) go to stderr.
+Prints ONE JSON line: the UHD v210 round-trip — the BASELINE.json
+north-star metric (>=50 fps per UHD channel per chip).
+
+Methodology: this environment reaches the TPU through a network tunnel
+whose ~30 ms RTT dwarfs device time, and async dispatch makes naive
+timing loops meaningless (results can appear faster than the HBM
+floor).  Each measurement therefore runs a CHAIN of n frame programs
+where frame k's output is frame k+1's input — the data dependency
+forces sequential device execution — with a single host fetch at the
+end; device time per frame comes from two chain lengths:
+dev = (nL*tL - nS*tS) / (nL - nS), cancelling the fixed RTT.
 """
 
 from __future__ import annotations
@@ -14,6 +21,7 @@ import sys
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 
@@ -21,90 +29,81 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def make_uhd_program():
-    from phaneron_tpu.graph.pipeline import ChannelSpec, LayerSpec, make_channel_program
-    from phaneron_tpu.ops.formats import get_format
+def chain_ms(step, x0, n_small=8, n_large=64):
+    """Device ms/frame via RTT-cancelling dependent chains."""
 
-    w, h = 3840, 2160
-    spec = ChannelSpec(w, h, "v210", layers=(LayerSpec("v210"),))
-    prog = make_channel_program(spec)
-    planes = [jax.device_put(np.asarray(p)) for p in get_format("v210").fill_buf(w, h)]
-    return prog, {"layers": [{"src": planes}]}
-
-
-def make_hd_composite_program():
-    import jax.numpy as jnp
-
-    from phaneron_tpu.graph.pipeline import ChannelSpec, LayerSpec, make_channel_program
-    from phaneron_tpu.ops.formats import get_format
-    from phaneron_tpu.ops.geometry import transform_matrix
-
-    w, h = 1920, 1080
-    layer = LayerSpec(
-        "v210", transition="dissolve", has_transform=True, axis_aligned=True,
-        src_b_format="v210",
-    )
-    spec = ChannelSpec(w, h, "v210", layers=(layer,) * 4)
-    prog = make_channel_program(spec)
-    v210 = get_format("v210")
-    planes = [jax.device_put(np.asarray(p)) for p in v210.fill_buf(w, h)]
-    mat = jax.device_put(
-        jnp.asarray(transform_matrix(w, h, scale_x=0.9, scale_y=0.9, offset_x=0.02))
-    )
-    lp = {"src": planes, "src_b": planes, "matrix": mat, "mix": jnp.float32(0.5)}
-    return prog, {"layers": [dict(lp) for _ in range(4)]}
-
-
-def measure(prog, params, warmup=3, min_iters=20, budget_s=10.0):
-    for _ in range(warmup):
-        jax.block_until_ready(prog(params))
-
-    # synchronous per-frame latency
-    lat = []
-    t_end = time.perf_counter() + budget_s / 2
-    while len(lat) < min_iters or (time.perf_counter() < t_end and len(lat) < 200):
+    def run(n):
+        x = x0
         t0 = time.perf_counter()
-        jax.block_until_ready(prog(params))
-        lat.append(time.perf_counter() - t0)
-    lat_ms = np.asarray(lat) * 1e3
+        for _ in range(n):
+            x = step(x)
+        jnp.sum(x.astype(jnp.float32)).block_until_ready()
+        float(jnp.sum(x.astype(jnp.float32)))
+        return (time.perf_counter() - t0) * 1e3
 
-    # pipelined throughput: keep the device queue fed
-    n = max(min_iters, min(200, int((budget_s / 2) / max(np.median(lat), 1e-4))))
-    t0 = time.perf_counter()
-    outs = None
-    for _ in range(n):
-        outs = prog(params)
-    jax.block_until_ready(outs)
-    fps = n / (time.perf_counter() - t0)
-    return fps, float(np.percentile(lat_ms, 50)), float(np.percentile(lat_ms, 99))
+    run(2)  # warm all compiles
+    t_small = min(run(n_small) for _ in range(2))
+    t_large = min(run(n_large) for _ in range(2))
+    dev = (t_large - t_small) / (n_large - n_small)
+    return max(dev, 1e-6), t_small / n_small
 
 
 def main():
+    from phaneron_tpu.graph.pipeline import ChannelSpec, LayerSpec, make_channel_program
+    from phaneron_tpu.ops.formats import get_format
+    from phaneron_tpu.ops.geometry import transform_matrix
+    from phaneron_tpu.ops.pallas_kernels import make_fused_v210_program
+
     dev = jax.devices()[0]
     log(f"device: {dev} ({dev.platform})")
+    interpret = jax.default_backend() == "cpu"
 
-    prog, params = make_uhd_program()
+    w, h = 3840, 2160
+    v210 = get_format("v210")
+    uhd_src = jax.device_put(np.asarray(v210.fill_buf(w, h)[0]))
+
+    # 1. UHD v210 roundtrip through the shipped fused Pallas kernel
+    fused = make_fused_v210_program(w, h, interpret=interpret)
     t0 = time.perf_counter()
-    jax.block_until_ready(prog(params))
-    log(f"UHD compile+first-run: {time.perf_counter()-t0:.1f}s")
-    uhd_fps, uhd_p50, uhd_p99 = measure(prog, params)
-    log(f"UHD v210 1-layer roundtrip: {uhd_fps:.1f} fps, p50 {uhd_p50:.2f} ms, p99 {uhd_p99:.2f} ms")
+    jax.block_until_ready(fused([uhd_src]))
+    log(f"UHD fused compile+first-run: {time.perf_counter()-t0:.1f}s")
+    uhd_ms, _ = chain_ms(lambda x: fused([x]), uhd_src)
+    uhd_fps = 1000.0 / uhd_ms
+    log(f"UHD v210 roundtrip (fused Pallas): {uhd_ms:.3f} ms/frame -> {uhd_fps:.0f} fps")
 
-    hd_prog, hd_params = make_hd_composite_program()
-    hd_fps, hd_p50, hd_p99 = measure(hd_prog, hd_params)
-    log(f"1080p 4-layer dissolve+DVE composite: {hd_fps:.1f} fps, p50 {hd_p50:.2f} ms, p99 {hd_p99:.2f} ms")
+    # 2. same path on pure XLA (the general fallback)
+    xla_prog = make_channel_program(ChannelSpec(w, h, "v210", layers=(LayerSpec("v210"),)))
+    xla_ms, _ = chain_ms(lambda x: xla_prog({"layers": [{"src": [x]}]})[0], uhd_src)
+    log(f"UHD v210 roundtrip (XLA path): {xla_ms:.3f} ms/frame -> {1000/xla_ms:.0f} fps")
+
+    # 3. 1080p 4-layer dissolve + DVE composite (BASELINE config 3)
+    hw, hh = 1920, 1080
+    layer = LayerSpec("v210", transition="dissolve", has_transform=True,
+                      axis_aligned=True, src_b_format="v210")
+    hd_spec = ChannelSpec(hw, hh, "v210", layers=(layer,) * 4)
+    hd_prog = make_channel_program(hd_spec)
+    hd_src = jax.device_put(np.asarray(v210.fill_buf(hw, hh)[0]))
+    mat = jax.device_put(jnp.asarray(
+        transform_matrix(hw, hh, scale_x=0.9, scale_y=0.9, offset_x=0.02)))
+
+    def hd_step(x):
+        lp = {"src": [x], "src_b": [x], "matrix": mat, "mix": jnp.float32(0.5)}
+        return hd_prog({"layers": [dict(lp) for _ in range(4)]})[0]
+
+    hd_ms, _ = chain_ms(hd_step, hd_src, n_small=4, n_large=24)
+    log(f"1080p 4-layer dissolve+DVE composite: {hd_ms:.3f} ms/frame -> {1000/hd_ms:.0f} fps")
 
     print(
         json.dumps(
             {
                 "metric": "uhd_v210_unpack_composite_pack_fps_per_chip",
-                "value": round(uhd_fps, 2),
+                "value": round(uhd_fps, 1),
                 "unit": "fps",
-                "vs_baseline": round(uhd_fps / 50.0, 3),
+                "vs_baseline": round(uhd_fps / 50.0, 2),
                 "extra": {
-                    "uhd_p99_ms": round(uhd_p99, 3),
-                    "hd_4layer_fps": round(hd_fps, 2),
-                    "hd_4layer_p99_ms": round(hd_p99, 3),
+                    "uhd_ms_per_frame": round(uhd_ms, 3),
+                    "uhd_xla_fps": round(1000 / xla_ms, 1),
+                    "hd_4layer_fps": round(1000 / hd_ms, 1),
                     "device": str(dev),
                 },
             }

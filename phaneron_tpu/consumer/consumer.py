@@ -33,9 +33,11 @@ class ChannelFrame:
 
 class Consumer(ABC):
     """One output endpoint.  pix_format None means the consumer needs
-    the RGBA frame and packs/encodes itself."""
+    the RGBA frame and packs/encodes itself; needs_rgba forces RGBA
+    delivery even when the packed format matches (interlaced packing)."""
 
     pix_format: Optional[str] = "v210"
+    needs_rgba: bool = False
 
     def __init__(self, params: dict[str, Any] | None = None):
         self.params = params or {}

@@ -33,16 +33,26 @@ class FileConsumer(Consumer):
         self._wav = None
         self._frames = 0
         self._lock = asyncio.Lock()
+        self._pending_field = None  # top-field rgba awaiting its pair
 
     async def initialise(self, fmt) -> None:
         await super().initialise(fmt)
+        self.interlaced = fmt.interlaced
+        if self.interlaced:
+            # pack field pairs ourselves from the RGBA output
+            self.needs_rgba = True
+            from ..graph.pipeline import make_interlaced_pack_program
+
+            self._pack_pair = make_interlaced_pack_program(
+                self.pix_format, fmt.width, fmt.height, "709"
+            )
         self.path.parent.mkdir(parents=True, exist_ok=True)
         self._fh = open(self.path, "wb")
         sidecar = {
             "format": self.pix_format,
             "width": fmt.width,
             "height": fmt.height,
-            "fps": fmt.fps,
+            "fps": fmt.fps / (2 if fmt.interlaced else 1),
             "interlaced": fmt.interlaced,
         }
         Path(str(self.path) + ".json").write_text(json.dumps(sidecar))
@@ -56,16 +66,28 @@ class FileConsumer(Consumer):
         if self._fh is None or (self.max_frames and self._frames >= self.max_frames):
             return
         planes = frame.packed
+        if self.interlaced and frame.rgba is not None:
+            # two field-rate frames -> one interlaced frame
+            # (macadamConsumer.ts:224-244 two-pass field packing)
+            if self._pending_field is None:
+                self._pending_field = frame.rgba
+                self._write_audio(frame)
+                return
+            planes = self._pack_pair(self._pending_field, frame.rgba)
+            self._pending_field = None
         async with self._lock:
             # device -> host copy happens here, off the render loop's
             # critical path only insofar as dispatch is async; a real
-            # deployment would double-buffer (SURVEY.md §7.1) — next round
+            # deployment would double-buffer (SURVEY.md §7.1)
             for p in planes:
                 self._fh.write(np.asarray(p).tobytes())
-            if self._wav is not None:
-                pcm = np.clip(frame.audio.T, -1.0, 1.0 - 2**-15)
-                self._wav.writeframes((pcm * 32767).astype("<i2").tobytes())
+            self._write_audio(frame)
         self._frames += 1
+
+    def _write_audio(self, frame: ChannelFrame) -> None:
+        if self._wav is not None:
+            pcm = np.clip(frame.audio.T, -1.0, 1.0 - 2**-15)
+            self._wav.writeframes((pcm * 32767).astype("<i2").tobytes())
 
     def release(self) -> None:
         if self._fh:

@@ -23,7 +23,7 @@ arguments.
 from __future__ import annotations
 
 from functools import lru_cache
-from typing import Any, NamedTuple, Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -205,6 +205,25 @@ def make_pack_program(
     @jax.jit
     def program(rgba):
         return fio.from_rgba(fmt, rgba, saver, width, height)
+
+    return program
+
+
+@lru_cache(maxsize=None)
+def make_interlaced_pack_program(
+    fmt_name: str, width: int, height: int, col_spec: str, gamma_mode: str = "analytic"
+):
+    """Pack two field-rate RGBA frames into one interlaced packed frame:
+    even lines from the top-field frame, odd from the bottom — the
+    functional form of the reference consumer's two write passes
+    (macadamConsumer.ts:224-244, v210.ts:126-129)."""
+    fmt = get_format(fmt_name)
+    saver = make_saver(fmt.INFO, col_spec, gamma_mode)
+
+    @jax.jit
+    def program(top_rgba, bottom_rgba):
+        merged = fio.interleave_rgba_fields(top_rgba, bottom_rgba)
+        return fio.from_rgba(fmt, merged, saver, width, height)
 
     return program
 

@@ -20,7 +20,6 @@ fed to jitted programs as constants/arguments.
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
 from functools import lru_cache
 

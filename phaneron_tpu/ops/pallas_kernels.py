@@ -1,0 +1,266 @@
+"""Pallas TPU kernels: the fully-fused v210 channel pipeline.
+
+The XLA path materialises the unpacked RGBA frame (132 MB at UHD) in
+HBM between stages and spends most of its time in layout shuffles.
+This kernel runs the whole path
+
+    v210 unpack -> colour -> [dissolve] -> combine-over-black -> colour
+    -> v210 pack
+
+inside one pallas_call with everything VMEM-resident: HBM traffic is
+just packed words in + packed words out (~22 MB each at UHD).
+
+Layout trick ("phase-planar"): v210 words are pre-split into four word
+planes w0..w3 of shape (H, G) (G = pitch/6 groups per line; a cheap
+XLA transpose, or native/hostio.cpp on the host).  Every 10-bit field
+of a group then lives at the SAME (row, group) coordinate in one of the
+twelve (Y0..Y5, Cb0..2, Cr0..2) phase planes, so unpack, colour math,
+compositing and repack are all pure lane-aligned VPU ops — no
+cross-lane shuffles at all.  Pixel p of a group pairs with chroma
+sample p//2 of the same group, exactly like the scalar kernels
+(v210.ts:58-63).
+
+Width masking reproduces the pitch-padding rule of ops.formats.v210
+(pad fields pack as zero), so results are bit-identical to the XLA
+path for any width — asserted in tests.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import colour_maths as cm
+from .formats import v210 as v210fmt
+from .gamma import gamma2linear_at_index, linear2gamma_at_index
+from .quant import u16_sat_rte
+
+__all__ = [
+    "supported_spec",
+    "make_fused_v210_program",
+    "words_to_planes",
+    "planes_to_words",
+]
+
+_MASK = 0x3FF
+
+
+def words_to_planes(words: jnp.ndarray) -> jnp.ndarray:
+    """(H, G*4) uint32 -> (4, H, G) word planes (device-side)."""
+    h = words.shape[0]
+    return words.reshape(h, -1, 4).transpose(2, 0, 1)
+
+
+def planes_to_words(planes: jnp.ndarray) -> jnp.ndarray:
+    """(4, H, G) -> (H, G*4)."""
+    _, h, g = planes.shape
+    return planes.transpose(1, 2, 0).reshape(h, g * 4)
+
+
+def _unpack_phases(p0, p1, p2, p3):
+    """Word planes -> 6 luma + 3 cb + 3 cr phase planes (int32 codes)."""
+    y = [p0 >> 10, p1, p1 >> 20, p2 >> 10, p3, p3 >> 20]
+    cb = [p0, p1 >> 10, p2 >> 20]
+    cr = [p0 >> 20, p2, p3 >> 10]
+    f = lambda x: (x & _MASK).astype(jnp.int32)
+    return [f(v) for v in y], [f(v) for v in cb], [f(v) for v in cr]
+
+
+def _phase_masks(width: int, g: int, shape):
+    """Validity masks per phase for the partial last group (pads -> 0)."""
+    if width % 6 == 0 and width == g * 6:
+        return None, None
+    lanes = jax.lax.broadcasted_iota(jnp.int32, shape, dimension=1)
+    y_masks = [(lanes * 6 + p) < width for p in range(6)]
+    n_chroma = (width + 1) // 2
+    c_masks = [(lanes * 3 + s) < n_chroma for s in range(3)]
+    return y_masks, c_masks
+
+
+def _make_kernel(spec_key):
+    (width, height, col_spec, out_col_spec, n_layers, transition) = spec_key
+    g = v210fmt.pitch(width) // 6
+
+    # matrices bake into the kernel as scalar literals (Pallas kernels
+    # cannot capture array constants); float() of an f32 is exact
+    col_fwd = [
+        [float(v) for v in row]
+        for row in cm.ycbcr2rgb_matrix(col_spec, 10, 64, 940, 896)
+    ]
+    gamut = [[float(v) for v in row] for row in cm.rgb2rgb_matrix(col_spec, out_col_spec)]
+    col_bwd = [
+        [float(v) for v in row]
+        for row in cm.rgb2ycbcr_matrix(out_col_spec, 10, 64, 940, 896)
+    ]
+
+    def g2l(x):
+        return gamma2linear_at_index(col_spec, u16_sat_rte(x * 65535.0))
+
+    def l2g(x):
+        return linear2gamma_at_index(out_col_spec, u16_sat_rte(x * 65535.0))
+
+    def decode_layer(planes_refs):
+        """Four (R, G) word tiles -> per-phase linear RGB (+alpha=1)."""
+        ys, cbs, crs = _unpack_phases(*[r[:] for r in planes_refs])
+        rgb_phases = []
+        for p in range(6):
+            yf = ys[p].astype(jnp.float32)
+            uf = cbs[p // 2].astype(jnp.float32)
+            vf = crs[p // 2].astype(jnp.float32)
+            chans = []
+            for c in range(3):
+                gam = col_fwd[c][0] * yf + col_fwd[c][1] * uf + col_fwd[c][2] * vf + col_fwd[c][3]
+                chans.append(g2l(gam))
+            r = gamut[0][0] * chans[0] + gamut[0][1] * chans[1] + gamut[0][2] * chans[2]
+            gg = gamut[1][0] * chans[0] + gamut[1][1] * chans[1] + gamut[1][2] * chans[2]
+            b = gamut[2][0] * chans[0] + gamut[2][1] * chans[1] + gamut[2][2] * chans[2]
+            rgb_phases.append((r, gg, b))
+        return rgb_phases
+
+    def encode(rgb_phases, y_masks, c_masks, out_refs):
+        """Per-phase linear RGB -> packed word planes."""
+        codes = []
+        for p in range(6):
+            rp, gp, bp = (l2g(ch) for ch in rgb_phases[p])
+            y = u16_sat_rte(col_bwd[0][0] * rp + col_bwd[0][1] * gp + col_bwd[0][2] * bp + col_bwd[0][3])
+            u = u16_sat_rte(col_bwd[1][0] * rp + col_bwd[1][1] * gp + col_bwd[1][2] * bp + col_bwd[1][3])
+            v = u16_sat_rte(col_bwd[2][0] * rp + col_bwd[2][1] * gp + col_bwd[2][2] * bp + col_bwd[2][3])
+            codes.append((y & 0x3FF, u & 0x3FF, v & 0x3FF))
+
+        def maskp(x, p):
+            return jnp.where(y_masks[p], x, 0) if y_masks is not None else x
+
+        def maskc(x, s):
+            return jnp.where(c_masks[s], x, 0) if c_masks is not None else x
+
+        y = [maskp(codes[p][0], p).astype(jnp.uint32) for p in range(6)]
+        # chroma samples come from even pixels 0/2/4 (v210.ts:158-162)
+        u = [maskc(codes[2 * s][1], s).astype(jnp.uint32) for s in range(3)]
+        v = [maskc(codes[2 * s][2], s).astype(jnp.uint32) for s in range(3)]
+
+        out_refs[0][:] = (v[0] << 20) | (y[0] << 10) | u[0]
+        out_refs[1][:] = (y[2] << 20) | (u[1] << 10) | y[1]
+        out_refs[2][:] = (u[2] << 20) | (y[3] << 10) | v[1]
+        out_refs[3][:] = (y[5] << 20) | (v[2] << 10) | y[4]
+
+    def kernel(*refs):
+        # refs: [mix_ref?] + n_layers*4 input refs + 4 output refs
+        idx = 0
+        mix = None
+        if transition == "dissolve":
+            mix = refs[0][0, 0]
+            idx = 1
+        layer_refs = [refs[idx + 4 * l : idx + 4 * (l + 1)] for l in range(n_layers)]
+        out_refs = refs[idx + 4 * n_layers : idx + 4 * n_layers + 4]
+
+        shape = layer_refs[0][0].shape
+        y_masks, c_masks = _phase_masks(width, g, shape)
+
+        layers_rgb = [decode_layer(lr) for lr in layer_refs]
+        if transition == "dissolve":
+            # layer pairs: (cur, next) per output layer slot
+            mixed = []
+            for i in range(0, n_layers, 2):
+                cur, nxt = layers_rgb[i], layers_rgb[i + 1]
+                mixed.append(
+                    [
+                        tuple(c * mix + n * (1.0 - mix) for c, n in zip(cp, np_))
+                        for cp, np_ in zip(cur, nxt)
+                    ]
+                )
+            layers_rgb = mixed
+
+        # combine over black: opaque sources (alpha==1 after v210 unpack)
+        # make 'over' a pure replacement, so the top layer wins per pixel;
+        # with multiple opaque layers the last one is the visible one
+        # (combine.ts over-accumulation with alpha 1)
+        final = layers_rgb[-1]
+        encode(final, y_masks, c_masks, out_refs)
+
+    return kernel
+
+
+def supported_spec(spec) -> bool:
+    """Which channel structures this fused kernel covers (the rest run
+    on the XLA path).  v210 sources unpack fully opaque, so only the TOP
+    layer is ever visible in the composite (combine.ts over-accumulation
+    with alpha 1): the kernel needs the top layer to be a progressive
+    v210 source without DVE warp, with cut or dissolve transition, and
+    a v210 output."""
+    if spec.out_format != "v210" or spec.emit_rgba or not spec.layers:
+        return False
+    ls = spec.layers[-1]
+    if ls.src_format != "v210" or ls.has_transform or ls.deinterlace:
+        return False
+    if ls.transition not in ("none", "dissolve"):
+        return False
+    if ls.transition == "dissolve" and (ls.src_b_format or "v210") != "v210":
+        return False
+    # lower layers are fully covered by the opaque top layer (their
+    # alpha never reaches the output: out = prev*(1-1) + top)
+    return True
+
+
+@lru_cache(maxsize=None)
+def make_fused_v210_program(
+    width: int,
+    height: int,
+    col_spec: str = "709",
+    out_col_spec: str = "709",
+    n_layers: int = 1,
+    transition: str = "none",
+    rows_per_block: int = 16,
+    interpret: bool | None = None,
+):
+    """Build the fused pallas_call.  Returns fn(word_arrays, mix=None) ->
+    packed words (H, G*4); word_arrays is a list of n_layers (H, G*4)
+    uint32 arrays (for dissolve: 2 arrays per layer slot, cur then next).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    g = v210fmt.pitch(width) // 6
+    n_inputs = n_layers * (2 if transition == "dissolve" else 1)
+    spec_key = (width, height, col_spec, out_col_spec, n_inputs, transition)
+    kernel = _make_kernel(spec_key)
+
+    r = rows_per_block
+    while height % r:
+        r //= 2
+    grid = (height // r,)
+
+    def block_spec():
+        return pl.BlockSpec((r, g), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    in_specs = []
+    if transition == "dissolve":
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+    in_specs += [block_spec() for _ in range(4 * n_inputs)]
+    out_specs = [block_spec() for _ in range(4)]
+    out_shape = [jax.ShapeDtypeStruct((height, g), jnp.uint32) for _ in range(4)]
+
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )
+
+    @jax.jit
+    def program(word_arrays, mix=None):
+        args = []
+        if transition == "dissolve":
+            args.append(jnp.asarray(mix, jnp.float32).reshape(1, 1))
+        for wa in word_arrays:
+            planes = words_to_planes(wa.astype(jnp.uint32))
+            args.extend(planes[i] for i in range(4))
+        outs = call(*args)
+        return planes_to_words(jnp.stack(outs))
+
+    return program

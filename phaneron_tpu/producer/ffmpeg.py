@@ -17,7 +17,7 @@ import shutil
 
 import numpy as np
 
-from ..audio.engine import QUANTUM, silence
+from ..audio.engine import silence
 from ..config import VideoFormat
 from ..ops.formats import get_format
 from ..runtime.frame import AudioFrame, VideoFrame

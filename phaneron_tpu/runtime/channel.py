@@ -76,6 +76,7 @@ class Channel:
         out_format: str = "v210",
         col_spec: str = "709",
         gamma_mode: str = "analytic",
+        use_pallas: Optional[bool] = None,
     ):
         self.chan_id = chan_id
         self.fmt = fmt
@@ -83,6 +84,13 @@ class Channel:
         self.out_format = out_format
         self.col_spec = col_spec
         self.gamma_mode = gamma_mode
+        if use_pallas is None:
+            import jax
+
+            # compiled Pallas on TPU; the CPU interpreter is far slower
+            # than the XLA path, so tests exercise it explicitly instead
+            use_pallas = jax.default_backend() == "tpu"
+        self.use_pallas = use_pallas
         self.layers: dict[int, Layer] = {}
         self.consumers: list[Consumer] = []
         self.clock = FrameClock(fmt.timescale, fmt.duration)
@@ -213,9 +221,40 @@ class Channel:
         if self.taps:
             return True
         return any(
-            c.pix_format is None or c.pix_format != self.out_format
+            c.pix_format is None or c.pix_format != self.out_format or c.needs_rgba
             for c in self.consumers
         )
+
+    def _dispatch(self, spec: ChannelSpec, contribs):
+        """Run the frame program: the fused Pallas kernel when the
+        structure allows (TPU, v210 top layer, no RGBA consumers),
+        otherwise the general XLA path."""
+        if self.use_pallas and contribs:
+            from ..ops.pallas_kernels import make_fused_v210_program, supported_spec
+
+            if supported_spec(spec):
+                top = contribs[-1]
+                if top.spec.transition == "dissolve":
+                    prog = make_fused_v210_program(
+                        spec.width, spec.height, spec.col_spec, spec.out_col_spec,
+                        n_layers=1, transition="dissolve",
+                    )
+                    words = prog(
+                        [top.params["src"][0], top.params["src_b"][0]],
+                        mix=top.params["mix"],
+                    )
+                else:
+                    prog = make_fused_v210_program(
+                        spec.width, spec.height, spec.col_spec, spec.out_col_spec
+                    )
+                    words = prog([top.params["src"][0]])
+                return [words], None
+
+        program = make_channel_program(spec)
+        out = program({"layers": [c.params for c in contribs]})
+        if isinstance(out, dict):
+            return out["packed"], out["rgba"]
+        return out, None
 
     async def render_frame(self) -> ChannelFrame:
         """Assemble and dispatch one channel frame (the per-tick hot path)."""
@@ -241,12 +280,7 @@ class Channel:
             self.gamma_mode,
             emit_rgba=self._needs_rgba(),
         )
-        program = make_channel_program(spec)
-        out = program({"layers": [c.params for c in contribs]})
-        if isinstance(out, dict):
-            packed, rgba = out["packed"], out["rgba"]
-        else:
-            packed, rgba = out, None
+        packed, rgba = self._dispatch(spec, contribs)
 
         audio = (
             amix([c.audio for c in contribs])

@@ -10,7 +10,7 @@ HBM-resident jax arrays flowing through these queues by reference.
 from __future__ import annotations
 
 import asyncio
-from typing import Any, AsyncIterator, Awaitable, Callable, Iterable, Optional
+from typing import Any, AsyncIterator, Awaitable, Callable, Optional
 
 __all__ = ["END", "NIL", "Stream", "from_generator", "is_value"]
 

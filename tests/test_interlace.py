@@ -1,0 +1,87 @@
+"""Interlaced paths: field-pair packing and the yadif ring cadence of
+an interlaced source on a field-rate channel."""
+
+import asyncio
+
+import jax.numpy as jnp
+import numpy as np
+
+from phaneron_tpu.config import VideoFormat
+from phaneron_tpu.consumer.file_consumer import FileConsumer
+from phaneron_tpu.graph.pipeline import make_interlaced_pack_program, make_pack_program
+from phaneron_tpu.ops.formats import get_format
+from phaneron_tpu.producer.producer import LoadParams, ProducerRegistry
+from phaneron_tpu.producer.test_pattern import create_test_pattern_producer
+from phaneron_tpu.runtime.channel import Channel
+
+TINY_I = VideoFormat("tiny_i", 2, 96, 64, 96, 50, 1, 48000, 2)
+
+
+def run(coro):
+    return asyncio.get_event_loop_policy().new_event_loop().run_until_complete(coro)
+
+
+def test_interlaced_pack_merges_fields():
+    rng = np.random.default_rng(1)
+    top = jnp.asarray(rng.random((4, 64, 96), dtype=np.float32))
+    bot = jnp.asarray(rng.random((4, 64, 96), dtype=np.float32))
+    pack_pair = make_interlaced_pack_program("v210", 96, 64, "709")
+    pack = make_pack_program("v210", 96, 64, "709")
+
+    merged_planes = pack_pair(top, bot)
+    # line k of the packed output equals line k of packing the source
+    # frame that owns that field
+    top_packed = np.asarray(pack(top)[0])
+    bot_packed = np.asarray(pack(bot)[0])
+    out = np.asarray(merged_planes[0])
+    assert np.array_equal(out[0::2], top_packed[0::2])
+    assert np.array_equal(out[1::2], bot_packed[1::2])
+
+
+def test_interlaced_file_consumer_halves_frame_rate(tmp_path):
+    async def main():
+        ch = Channel(1, TINY_I, ProducerRegistry([create_test_pattern_producer]))
+        out = tmp_path / "out.v210"
+        cons = FileConsumer({"path": str(out), "format": "v210"})
+        await ch.add_consumer(cons)
+        assert await ch.load_source(1, LoadParams("BARS"))
+        ch.play(1)
+        for _ in range(6):  # 6 fields -> 3 interlaced frames
+            f = await ch.render_frame()
+            await cons.deliver(f)
+        cons.release()
+        fbytes = get_format("v210").num_bytes(96, 64)[0]
+        assert out.stat().st_size == 3 * fbytes
+
+    run(main())
+
+
+def test_interlaced_source_deinterlaces_on_channel():
+    """An interlaced producer on a progressive channel goes through the
+    yadif ring (field-rate doubling, yadif.ts:115-145)."""
+
+    async def main():
+        prog_fmt = VideoFormat("tiny_p", 1, 96, 64, 96, 50, 1, 48000, 2)
+        ch = Channel(1, prog_fmt, ProducerRegistry([create_test_pattern_producer]))
+        assert await ch.load_source(1, LoadParams("BARS"))
+        lay = ch.layer(1)
+        # mark the source interlaced (test pattern is progressive by default);
+        # LOADBG binds to the background slot until PLAY promotes it
+        slot = lay.next
+        slot.producer.fmt = TINY_I
+
+        async def patched_pull():
+            await type(slot)._pull_video(slot)
+            if slot.last is not None:
+                slot.last.interlaced = True
+
+        slot._pull_video = patched_pull
+        ch.play(1)
+        # ring needs 3 frames: first ticks render black (layer not ready)
+        outs = [await ch.render_frame() for _ in range(8)]
+        y, _, _ = get_format("v210").unpack_codes(
+            [np.asarray(outs[-1].packed[0])], 96, 64
+        )
+        assert np.asarray(y).max() > 64  # deinterlaced bars flowing
+
+    run(main())
