@@ -15,8 +15,7 @@ from phaneron_tpu.control.osc import decode_message, encode_message
 VIDEO_FORMATS["tiny5000"] = VideoFormat("tiny5000", 1, 96, 64, 96, 50, 1, 48000, 2)
 
 
-def run(coro):
-    return asyncio.get_event_loop_policy().new_event_loop().run_until_complete(coro)
+from conftest import run_async as run
 
 
 def test_chan_layer_parse():

@@ -17,8 +17,7 @@ from phaneron_tpu.runtime.channel import Channel
 TINY_I = VideoFormat("tiny_i", 2, 96, 64, 96, 50, 1, 48000, 2)
 
 
-def run(coro):
-    return asyncio.get_event_loop_policy().new_event_loop().run_until_complete(coro)
+from conftest import run_async as run
 
 
 def test_interlaced_pack_merges_fields():

@@ -26,8 +26,7 @@ def make_registry(channels=None):
     return ProducerRegistry(factories)
 
 
-def run(coro):
-    return asyncio.get_event_loop_policy().new_event_loop().run_until_complete(coro)
+from conftest import run_async as run
 
 
 def test_empty_channel_renders_black():
