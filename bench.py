@@ -76,6 +76,16 @@ def main():
     xla_ms, _ = chain_ms(lambda x: xla_prog({"layers": [{"src": [x]}]})[0], uhd_src)
     log(f"UHD v210 roundtrip (XLA path): {xla_ms:.3f} ms/frame -> {1000/xla_ms:.0f} fps")
 
+    # 2b. 1080p fused path -> channels-per-chip capacity at 50 fps
+    hd_fused = make_fused_v210_program(1920, 1080, interpret=interpret)
+    hd_src1 = jax.device_put(np.asarray(v210.fill_buf(1920, 1080)[0]))
+    hdf_ms, _ = chain_ms(lambda x: hd_fused([x]), hd_src1)
+    capacity = int(20.0 / hdf_ms)  # 20 ms frame budget at 50 fps
+    log(
+        f"1080p v210 roundtrip (fused): {hdf_ms:.3f} ms/frame -> {1000/hdf_ms:.0f} fps "
+        f"(~{capacity} x 1080p50 channels/chip; reference default load is 4)"
+    )
+
     # 3. 1080p 4-layer dissolve + DVE composite (BASELINE config 3)
     hw, hh = 1920, 1080
     layer = LayerSpec("v210", transition="dissolve", has_transform=True,
@@ -103,6 +113,8 @@ def main():
                 "extra": {
                     "uhd_ms_per_frame": round(uhd_ms, 3),
                     "uhd_xla_fps": round(1000 / xla_ms, 1),
+                    "hd_fused_fps": round(1000 / hdf_ms, 1),
+                    "hd1080p50_channels_per_chip": capacity,
                     "hd_4layer_fps": round(1000 / hd_ms, 1),
                     "device": str(dev),
                 },

@@ -29,6 +29,8 @@ class ChannelFrame:
     width: int = 0
     height: int = 0
     packed_format: str = "v210"
+    loadstamp: Optional[float] = None  # earliest source ingest time
+    # (end-to-end latency metric, SURVEY.md §5.1)
 
 
 class Consumer(ABC):

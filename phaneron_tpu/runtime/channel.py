@@ -101,6 +101,9 @@ class Channel:
         self._task: Optional[asyncio.Task] = None
         # per-frame latency stats (SURVEY.md §5.1 first-class metric)
         self.frame_times: list[float] = []
+        from ..utils.metrics import StageTimings
+
+        self.timings = StageTimings()
 
     # ----------------------------------------------------------- layers
 
@@ -288,6 +291,7 @@ class Channel:
             else silence(self.fmt.audio_channels, self.fmt.samples_per_frame)
         )
 
+        stamps = [c.loadstamp for c in contribs if c.loadstamp is not None]
         frame = ChannelFrame(
             timestamp=self.timestamp,
             packed=packed,
@@ -296,6 +300,7 @@ class Channel:
             width=self.fmt.width,
             height=self.fmt.height,
             packed_format=self.out_format,
+            loadstamp=min(stamps) if stamps else None,
         )
 
         # ROUTE taps (zero-copy fan-out of the immutable device array)
@@ -344,6 +349,9 @@ class Channel:
             frame = await self.render_frame()
             if self.consumers:
                 await asyncio.gather(*(c.deliver(frame) for c in self.consumers))
+            if frame.loadstamp is not None:
+                # ingest -> delivered wall latency (SURVEY.md §5.1)
+                self.timings.record("e2e_latency", time.monotonic() - frame.loadstamp)
             frame_num += 1
 
     def start(self) -> None:
@@ -367,7 +375,7 @@ class Channel:
 
     def stats(self) -> dict[str, Any]:
         ft = np.asarray(self.frame_times[-200:]) if self.frame_times else np.zeros(1)
-        return {
+        out = {
             "channel": self.chan_id,
             "format": self.fmt.name,
             "frames": self.timestamp,
@@ -377,3 +385,7 @@ class Channel:
             "layers": sorted(self.layers),
             "consumers": len(self.consumers),
         }
+        e2e = self.timings.summary().get("e2e_latency")
+        if e2e:
+            out["e2e_p99_ms"] = e2e["p99_ms"]
+        return out

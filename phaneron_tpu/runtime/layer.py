@@ -368,7 +368,8 @@ class Layer:
                 return None
             spec = LayerSpec(src_format=cur_fields["src_format"],
                              deinterlace=cur_fields["deinterlace"], **spec_kwargs)
-            return LayerContribution(spec, params, audio)
+            stamp = self.cur.last.loadstamp if self.cur and self.cur.last else None
+            return LayerContribution(spec, params, audio, stamp)
 
         # ------- steady state: single source
         if self.cur.ended and self.cur.frames_seen > 0 and not getattr(self.cur, "_end_fired", False):
@@ -398,4 +399,5 @@ class Layer:
             axis_aligned=mixer.axis_aligned,
         )
         audio = await self.cur.audio_tick()
-        return LayerContribution(spec, params, audio)
+        stamp = self.cur.last.loadstamp if self.cur.last else None
+        return LayerContribution(spec, params, audio, stamp)

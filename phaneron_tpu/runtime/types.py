@@ -28,3 +28,4 @@ class LayerContribution:
     spec: LayerSpec
     params: dict[str, Any]
     audio: np.ndarray
+    loadstamp: Optional[float] = None  # source frame ingest wall-clock
