@@ -51,10 +51,14 @@ class LayerSpec(NamedTuple):
     src_format: str
     transition: str = "none"  # 'none' | 'dissolve' | 'wipe'
     has_transform: bool = False  # run the DVE warp (MIXER ANCHOR/FILL/ROTATION)
-    axis_aligned: bool = True  # no-rotation fast path (MXU matmuls)
+    axis_aligned: bool = True  # no-rotation fast path
     mask_format: Optional[str] = None  # wipe mask source format
     src_b_format: Optional[str] = None  # transition target source format
     deinterlace: bool = False  # source is interlaced: inputs carry a ring
+    src_size: Optional[tuple[int, int]] = None  # (w, h) when the source
+    # geometry differs from the channel: unpack at source size, then
+    # stretch-fit (the reference's normalized-coordinate sampling does
+    # this implicitly in its transform kernel, transform.ts:26-29)
 
 
 class ChannelSpec(NamedTuple):
@@ -72,10 +76,16 @@ class ChannelSpec(NamedTuple):
     # secondary consumers with different pack formats)
 
 
-def _unpack(fmt_name: str, planes, spec: ChannelSpec):
+def _unpack(fmt_name: str, planes, spec: ChannelSpec, size=None):
     fmt = get_format(fmt_name)
     loader = _loader(fmt_name, spec)
-    return fio.to_rgba(fmt, planes, loader, spec.width, spec.height)
+    w, h = size if size is not None else (spec.width, spec.height)
+    rgba = fio.to_rgba(fmt, planes, loader, w, h)
+    if (w, h) != (spec.width, spec.height):
+        from ..ops.geometry import resize_frame
+
+        rgba = resize_frame(rgba, spec.height, spec.width)
+    return rgba
 
 
 @lru_cache(maxsize=None)
@@ -105,7 +115,7 @@ def _layer_source(lspec: LayerSpec, fmt_name: str, src: dict, key: str, spec: Ch
     if fmt_name == "rgba_f32":
         # already-unpacked RGBA (route producer fork of a combiner output)
         return src[key]
-    return _unpack(fmt_name, src[key], spec)
+    return _unpack(fmt_name, src[key], spec, lspec.src_size)
 
 
 def _process_layer(lspec: LayerSpec, lparams: dict, spec: ChannelSpec) -> jnp.ndarray:

@@ -7,9 +7,8 @@ coordinates, bilinear filtering and transparent-black borders
 - the 3x3 homogeneous matrix is built host-side exactly as the
   reference does (transform.ts:119-175) and fed to the jitted program
   as a traced argument — animating DVE params never recompiles;
-- axis-aligned warps (no rotation) run as interpolation-matrix matmuls
-  on the MXU (one (Hout,Hin) and one (Wout,Win) product per plane) —
-  the TPU-native formulation of separable bilinear resampling;
+- axis-aligned warps (no rotation) run as separable row/column
+  gather+lerp passes — memory-bound on TPU;
 - general (rotated) warps fall back to a 2-D gather.
 
 Both paths share identical index/weight math; tests assert they agree.
@@ -89,7 +88,7 @@ def transform_matrix(
 
 def is_axis_aligned(mat: np.ndarray, eps: float = 1e-12) -> bool:
     """True when the warp has no rotation/shear term, enabling the
-    separable MXU path.  Host-side (static bucketing) decision."""
+    separable fast path.  Host-side (static bucketing) decision."""
     return abs(float(mat[0, 1])) <= eps and abs(float(mat[1, 0])) <= eps
 
 

@@ -197,6 +197,8 @@ def supported_spec(spec) -> bool:
     ls = spec.layers[-1]
     if ls.src_format != "v210" or ls.has_transform or ls.deinterlace:
         return False
+    if getattr(ls, "src_size", None) is not None:  # needs the resize path
+        return False
     if ls.transition not in ("none", "dissolve"):
         return False
     if ls.transition == "dissolve" and (ls.src_b_format or "v210") != "v210":

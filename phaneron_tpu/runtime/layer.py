@@ -126,9 +126,16 @@ class SourceSlot:
         """Static structure this slot contributes to the LayerSpec."""
         fmt = self.last.format if self.last else self.producer.pix_format
         deint = self.interlaced and fmt != RGBA_F32
+        src_size = None
+        if self.last is not None and (self.last.width, self.last.height) != (
+            self.channel_fmt.width,
+            self.channel_fmt.height,
+        ):
+            src_size = (self.last.width, self.last.height)
         return {
             "src_format": RGBA_F32 if deint else fmt,
             "deinterlace": deint,
+            "src_size": src_size,
         }
 
     async def audio_tick(self) -> np.ndarray:
@@ -366,8 +373,7 @@ class Layer:
 
             if cur_params is None:
                 return None
-            spec = LayerSpec(src_format=cur_fields["src_format"],
-                             deinterlace=cur_fields["deinterlace"], **spec_kwargs)
+            spec = LayerSpec(**cur_fields, **spec_kwargs)
             stamp = self.cur.last.loadstamp if self.cur and self.cur.last else None
             return LayerContribution(spec, params, audio, stamp)
 
@@ -393,8 +399,7 @@ class Layer:
 
             params["matrix"] = jnp.asarray(mixer.matrix)
         spec = LayerSpec(
-            src_format=cur_fields["src_format"],
-            deinterlace=cur_fields["deinterlace"],
+            **cur_fields,
             has_transform=has_tf,
             axis_aligned=mixer.axis_aligned,
         )

@@ -26,6 +26,7 @@ from .control.heads import Heads
 from .control.mixer_cmds import MixerCmds
 from .control.osc import Osc
 from .producer.ffmpeg import create_ffmpeg_producer
+from .producer.mjpeg import create_mjpeg_producer
 from .producer.producer import ProducerRegistry
 from .producer.raw_file import create_raw_file_producer
 from .producer.route import make_route_factory
@@ -55,6 +56,7 @@ class PhaneronServer:
             [
                 make_route_factory(lambda n: self.channels.get(n)),
                 create_test_pattern_producer,
+                create_mjpeg_producer,
                 create_raw_file_producer,
                 create_ffmpeg_producer,
             ]
