@@ -77,6 +77,7 @@ class Channel:
         col_spec: str = "709",
         gamma_mode: str = "analytic",
         use_pallas: Optional[bool] = None,
+        device=None,
     ):
         self.chan_id = chan_id
         self.fmt = fmt
@@ -84,6 +85,10 @@ class Channel:
         self.out_format = out_format
         self.col_spec = col_spec
         self.gamma_mode = gamma_mode
+        # channel-per-chip placement (SURVEY.md §2.7 P2): all frame
+        # programs run on this device; ROUTE frames arriving from a
+        # channel pinned elsewhere transfer over ICI via device_put
+        self.device = device
         if use_pallas is None:
             import jax
 
@@ -228,10 +233,27 @@ class Channel:
             for c in self.consumers
         )
 
+    def _pin(self, contribs):
+        """Move contribution arrays to this channel's device.  A no-op
+        for frames already resident; cross-chip ROUTE frames ride the
+        interconnect here (ICI on TPU pods — the reference's HTTP
+        cluster hop replaced by a device-to-device copy)."""
+        if self.device is None:
+            return contribs
+        import jax
+
+        def put(x):
+            return jax.device_put(x, self.device) if hasattr(x, "dtype") else x
+
+        for c in contribs:
+            c.params = jax.tree.map(put, c.params)
+        return contribs
+
     def _dispatch(self, spec: ChannelSpec, contribs):
         """Run the frame program: the fused Pallas kernel when the
         structure allows (TPU, v210 top layer, no RGBA consumers),
         otherwise the general XLA path."""
+        contribs = self._pin(contribs)
         if self.use_pallas and contribs:
             from ..ops.pallas_kernels import make_fused_v210_program, supported_spec
 
