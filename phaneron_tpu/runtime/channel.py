@@ -368,12 +368,27 @@ class Channel:
         frame_num = 0
         while self.running:
             await self.clock.wait(frame_num)
-            frame = await self.render_frame()
-            if self.consumers:
-                await asyncio.gather(*(c.deliver(frame) for c in self.consumers))
-            if frame.loadstamp is not None:
-                # ingest -> delivered wall latency (SURVEY.md §5.1)
-                self.timings.record("e2e_latency", time.monotonic() - frame.loadstamp)
+            try:
+                frame = await self.render_frame()
+                if self.consumers:
+                    results = await asyncio.gather(
+                        *(c.deliver(frame) for c in self.consumers),
+                        return_exceptions=True,
+                    )
+                    for c, r in zip(self.consumers, results):
+                        if isinstance(r, Exception):
+                            print(f"channel {self.chan_id}: consumer error: {r}")
+                if frame.loadstamp is not None:
+                    # ingest -> delivered wall latency (SURVEY.md §5.1)
+                    self.timings.record(
+                        "e2e_latency", time.monotonic() - frame.loadstamp
+                    )
+            except asyncio.CancelledError:
+                raise
+            except Exception as err:
+                # one bad frame must not take the channel down
+                # (the reference catches per-channel, index.ts:156-170)
+                print(f"channel {self.chan_id}: frame {frame_num} error: {err}")
             frame_num += 1
 
     def start(self) -> None:

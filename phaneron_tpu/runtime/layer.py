@@ -75,7 +75,15 @@ class SourceSlot:
         return max(1, round(ratio))
 
     async def _pull_video(self) -> None:
-        frame = await self.video.next()
+        try:
+            frame = await self.video.next()
+        except Exception as err:
+            # producer failure degrades to source-end, never up the
+            # frame loop (the reference's per-source degradation,
+            # SURVEY.md §5.3)
+            print(f"source {self.producer.source_id} failed: {err}")
+            self.ended = True
+            return
         if frame is END:
             self.ended = True
             return
@@ -140,7 +148,11 @@ class SourceSlot:
 
     async def audio_tick(self) -> np.ndarray:
         while not self.audio_chunks and not self.audio_ended and not self.paused:
-            af = await self.audio.next()
+            try:
+                af = await self.audio.next()
+            except Exception:
+                self.audio_ended = True
+                break
             if af is END:
                 self.audio_ended = True
                 tail = self.rechunker.flush()
