@@ -74,13 +74,20 @@ class ChannelSpec(NamedTuple):
     tff: bool = True
     emit_rgba: bool = False  # also return the composited RGBA (route taps,
     # secondary consumers with different pack formats)
+    pallas_stages: bool = False  # use the Pallas v210 unpack/pack stage
+    # kernels inside this program (TPU; interpret mode on CPU)
 
 
 def _unpack(fmt_name: str, planes, spec: ChannelSpec, size=None):
     fmt = get_format(fmt_name)
-    loader = _loader(fmt_name, spec)
     w, h = size if size is not None else (spec.width, spec.height)
-    rgba = fio.to_rgba(fmt, planes, loader, w, h)
+    if fmt_name == "v210" and spec.pallas_stages:
+        from ..ops.pallas_kernels import make_v210_unpack_rgba
+
+        rgba = make_v210_unpack_rgba(w, h, spec.col_spec, spec.out_col_spec)(planes[0])
+    else:
+        loader = _loader(fmt_name, spec)
+        rgba = fio.to_rgba(fmt, planes, loader, w, h)
     if (w, h) != (spec.width, spec.height):
         from ..ops.geometry import resize_frame
 
@@ -152,9 +159,14 @@ def _channel_frame(spec: ChannelSpec, params: dict):
         _process_layer(ls, lp, spec) for ls, lp in zip(spec.layers, params["layers"])
     ]
     composited = combine(frames)
-    out_fmt = get_format(spec.out_format)
-    saver = _saver_cached(spec.out_format, spec.out_col_spec, spec.gamma_mode)
-    packed = fio.from_rgba(out_fmt, composited, saver, w, h)
+    if spec.out_format == "v210" and spec.pallas_stages:
+        from ..ops.pallas_kernels import make_v210_pack_rgba
+
+        packed = [make_v210_pack_rgba(w, h, spec.out_col_spec)(composited)]
+    else:
+        out_fmt = get_format(spec.out_format)
+        saver = _saver_cached(spec.out_format, spec.out_col_spec, spec.gamma_mode)
+        packed = fio.from_rgba(out_fmt, composited, saver, w, h)
     if spec.emit_rgba:
         return {"packed": packed, "rgba": composited}
     return packed

@@ -185,6 +185,157 @@ def _make_kernel(spec_key):
     return kernel
 
 
+# ---------------------- stage kernels (usable inside XLA programs) ----
+
+
+@lru_cache(maxsize=None)
+def make_v210_unpack_rgba(
+    width: int,
+    height: int,
+    col_spec: str = "709",
+    out_col_spec: str = "709",
+    rows_per_block: int = 16,
+    interpret: bool | None = None,
+):
+    """v210 words -> linear RGBA (4, H, W) as one Pallas kernel plus a
+    phase->spatial relayout.  Drop-in replacement for the XLA unpack
+    inside larger jitted programs (tracing through pallas_call is fine);
+    ~5x faster than the XLA formulation at 1080p."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    g = v210fmt.pitch(width) // 6
+    col_fwd = [
+        [float(v) for v in row] for row in cm.ycbcr2rgb_matrix(col_spec, 10, 64, 940, 896)
+    ]
+    gamut = [[float(v) for v in row] for row in cm.rgb2rgb_matrix(col_spec, out_col_spec)]
+
+    def g2l(x):
+        return gamma2linear_at_index(col_spec, u16_sat_rte(x * 65535.0))
+
+    def kernel(p0, p1, p2, p3, out_ref):
+        ys, cbs, crs = _unpack_phases(p0[:], p1[:], p2[:], p3[:])
+        for p in range(6):
+            yf = ys[p].astype(jnp.float32)
+            uf = cbs[p // 2].astype(jnp.float32)
+            vf = crs[p // 2].astype(jnp.float32)
+            chans = []
+            for c in range(3):
+                gam = (
+                    col_fwd[c][0] * yf
+                    + col_fwd[c][1] * uf
+                    + col_fwd[c][2] * vf
+                    + col_fwd[c][3]
+                )
+                chans.append(g2l(gam))
+            for c in range(3):
+                out_ref[c, p] = (
+                    gamut[c][0] * chans[0] + gamut[c][1] * chans[1] + gamut[c][2] * chans[2]
+                )
+            out_ref[3, p] = jnp.ones_like(chans[0])
+
+    r = rows_per_block
+    while height % r:
+        r //= 2
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(height // r,),
+        in_specs=[
+            pl.BlockSpec((r, g), lambda i: (i, 0), memory_space=pltpu.VMEM)
+            for _ in range(4)
+        ],
+        out_specs=pl.BlockSpec(
+            (4, 6, r, g), lambda i: (0, 0, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((4, 6, height, g), jnp.float32),
+        interpret=interpret,
+    )
+
+    def unpack(words: jnp.ndarray) -> jnp.ndarray:
+        planes = words_to_planes(words.astype(jnp.uint32))
+        phases = call(planes[0], planes[1], planes[2], planes[3])
+        # (4, 6, H, G) -> (4, H, G, 6) -> (4, H, pitch) -> crop to width
+        spatial = phases.transpose(0, 2, 3, 1).reshape(4, height, g * 6)
+        return spatial[:, :, :width]
+
+    return unpack
+
+
+@lru_cache(maxsize=None)
+def make_v210_pack_rgba(
+    width: int,
+    height: int,
+    out_col_spec: str = "709",
+    rows_per_block: int = 16,
+    interpret: bool | None = None,
+):
+    """Linear RGBA (4, H, W) -> v210 words as one Pallas kernel."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    g = v210fmt.pitch(width) // 6
+    col_bwd = [
+        [float(v) for v in row]
+        for row in cm.rgb2ycbcr_matrix(out_col_spec, 10, 64, 940, 896)
+    ]
+
+    def l2g(x):
+        return linear2gamma_at_index(out_col_spec, u16_sat_rte(x * 65535.0))
+
+    def kernel(in_ref, o0, o1, o2, o3):
+        y_masks, c_masks = _phase_masks(width, g, o0.shape)
+        codes = []
+        for p in range(6):
+            rp, gp, bp = l2g(in_ref[0, p]), l2g(in_ref[1, p]), l2g(in_ref[2, p])
+            y = u16_sat_rte(col_bwd[0][0] * rp + col_bwd[0][1] * gp + col_bwd[0][2] * bp + col_bwd[0][3])
+            u = u16_sat_rte(col_bwd[1][0] * rp + col_bwd[1][1] * gp + col_bwd[1][2] * bp + col_bwd[1][3])
+            v = u16_sat_rte(col_bwd[2][0] * rp + col_bwd[2][1] * gp + col_bwd[2][2] * bp + col_bwd[2][3])
+            codes.append((y & 0x3FF, u & 0x3FF, v & 0x3FF))
+
+        def maskp(x, p):
+            return jnp.where(y_masks[p], x, 0) if y_masks is not None else x
+
+        def maskc(x, s):
+            return jnp.where(c_masks[s], x, 0) if c_masks is not None else x
+
+        y = [maskp(codes[p][0], p).astype(jnp.uint32) for p in range(6)]
+        u = [maskc(codes[2 * s][1], s).astype(jnp.uint32) for s in range(3)]
+        v = [maskc(codes[2 * s][2], s).astype(jnp.uint32) for s in range(3)]
+        o0[:] = (v[0] << 20) | (y[0] << 10) | u[0]
+        o1[:] = (y[2] << 20) | (u[1] << 10) | y[1]
+        o2[:] = (u[2] << 20) | (y[3] << 10) | v[1]
+        o3[:] = (y[5] << 20) | (v[2] << 10) | y[4]
+
+    r = rows_per_block
+    while height % r:
+        r //= 2
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(height // r,),
+        in_specs=[
+            pl.BlockSpec((4, 6, r, g), lambda i: (0, 0, i, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=[
+            pl.BlockSpec((r, g), lambda i: (i, 0), memory_space=pltpu.VMEM)
+            for _ in range(4)
+        ],
+        out_shape=[jax.ShapeDtypeStruct((height, g), jnp.uint32) for _ in range(4)],
+        interpret=interpret,
+    )
+
+    def pack(rgba: jnp.ndarray) -> jnp.ndarray:
+        # spatial (4, H, W) -> pad to pitch -> (4, 6, H, G) phase layout
+        pitch_px = g * 6
+        pad = pitch_px - width
+        if pad:
+            rgba = jnp.pad(rgba, ((0, 0), (0, 0), (0, pad)))
+        phases = rgba.reshape(4, height, g, 6).transpose(0, 3, 1, 2)
+        outs = call(phases)
+        return planes_to_words(jnp.stack(outs))
+
+    return pack
+
+
 def supported_spec(spec) -> bool:
     """Which channel structures this fused kernel covers (the rest run
     on the XLA path).  v210 sources unpack fully opaque, so only the TOP

@@ -304,6 +304,7 @@ class Channel:
             self.col_spec,
             self.gamma_mode,
             emit_rgba=self._needs_rgba(),
+            pallas_stages=self.use_pallas,
         )
         packed, rgba = self._dispatch(spec, contribs)
 
