@@ -15,7 +15,15 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["silence", "apply_volume", "pan", "amix", "Rechunker", "interleave_s32"]
+__all__ = [
+    "silence",
+    "apply_volume",
+    "pan",
+    "amix",
+    "adapt_channels",
+    "Rechunker",
+    "interleave_s32",
+]
 
 QUANTUM = 1024  # samples per silence/source frame (blackSilence.ts:40)
 
@@ -35,6 +43,18 @@ def pan(samples: np.ndarray, matrix: np.ndarray) -> np.ndarray:
     """Channel-mapping mix: out[o] = sum_i matrix[o, i] * in[i]
     (the ffmpeg pan=Nc|... filter the Mixer builds, mixer.ts:140-152)."""
     return (matrix.astype(np.float32) @ samples).astype(np.float32)
+
+
+def adapt_channels(samples: np.ndarray, out_channels: int) -> np.ndarray:
+    """Map a source channel count onto the consumer layout: identity when
+    equal, truncate when wider, cycle-duplicate when narrower (the
+    reference's pan=Nc|c{k%N}=... wraps source channels the same way,
+    mixer.ts:140-145)."""
+    in_channels = samples.shape[0]
+    if in_channels == out_channels:
+        return samples
+    idx = np.arange(out_channels) % in_channels
+    return samples[idx]
 
 
 def amix(inputs: list[np.ndarray], normalize: bool = True) -> np.ndarray:
@@ -79,6 +99,9 @@ class Rechunker:
 
 def interleave_s32(samples: np.ndarray) -> np.ndarray:
     """Planar float -> interleaved signed 32-bit (the SDI consumer's
-    fltp->s32 conversion, macadamConsumer.ts:135-158)."""
-    clipped = np.clip(samples, -1.0, 1.0 - 2.0**-31)
-    return (clipped.T.reshape(-1) * (2.0**31)).astype(np.int32)
+    fltp->s32 conversion, macadamConsumer.ts:135-158).  The positive
+    clip bound must be representable in f32 (1 - 2^-24 is the largest
+    float32 below 1.0), else full-scale samples overflow int32."""
+    bound = np.float32(1.0) - np.float32(2.0**-24)
+    clipped = np.clip(samples, -1.0, bound)
+    return (clipped.T.reshape(-1).astype(np.float64) * (2.0**31)).astype(np.int32)

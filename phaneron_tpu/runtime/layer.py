@@ -21,7 +21,7 @@ from typing import Callable, Optional
 
 import numpy as np
 
-from ..audio.engine import Rechunker, amix, apply_volume, silence
+from ..audio.engine import Rechunker, adapt_channels, amix, silence
 from ..config import VideoFormat
 from ..graph.pipeline import LayerSpec, make_unpack_program
 from ..runtime.frame import RGBA_F32, VideoFrame
@@ -159,10 +159,11 @@ class SourceSlot:
                 if tail is not None:
                     self.audio_chunks.append(tail)
                 break
-            self.audio_chunks.extend(self.rechunker.push(af.samples))
+            samples = adapt_channels(af.samples, self.channel_fmt.audio_channels)
+            self.audio_chunks.extend(self.rechunker.push(samples))
         if self.paused or not self.audio_chunks:
             return silence(self.channel_fmt.audio_channels, self.channel_fmt.samples_per_frame)
-        return apply_volume(self.audio_chunks.popleft(), self.mixer.audio_gain())
+        return self.mixer.apply_audio(self.audio_chunks.popleft())
 
     def set_paused(self, paused: bool) -> None:
         self.paused = paused

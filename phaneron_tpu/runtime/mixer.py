@@ -35,6 +35,8 @@ class Mixer:
         self.params = dict(_DEFAULTS)
         self.volume = 1.0
         self.muted = False
+        # per-channel pan levels (mixer.ts srcLevels, default unity)
+        self.src_levels: np.ndarray | None = None
         self._matrix: np.ndarray | None = None
 
     # ------------------------------------------------ video (DVE) params
@@ -101,5 +103,20 @@ class Mixer:
         self.volume = volume
         return True
 
+    def set_levels(self, levels) -> bool:
+        """Per-channel pan levels (the reference's pan=Nc|ck=level*ck)."""
+        self.src_levels = np.asarray(levels, dtype=np.float32)
+        return True
+
     def audio_gain(self) -> float:
         return 0.0 if self.muted else self.volume
+
+    def apply_audio(self, samples: np.ndarray) -> np.ndarray:
+        """Full per-source audio chain: pan levels then volume
+        (mixer.ts:140-169 pan -> ... -> volume)."""
+        if self.src_levels is not None:
+            n = min(len(self.src_levels), samples.shape[0])
+            samples = samples.copy()
+            samples[:n] *= self.src_levels[:n, None]
+        gain = self.audio_gain()
+        return samples if gain == 1.0 else samples * np.float32(gain)
