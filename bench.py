@@ -90,7 +90,9 @@ def main():
     hw, hh = 1920, 1080
     layer = LayerSpec("v210", transition="dissolve", has_transform=True,
                       axis_aligned=True, src_b_format="v210")
-    hd_spec = ChannelSpec(hw, hh, "v210", layers=(layer,) * 4)
+    hd_spec = ChannelSpec(
+        hw, hh, "v210", layers=(layer,) * 4, pallas_stages=not interpret
+    )
     hd_prog = make_channel_program(hd_spec)
     hd_src = jax.device_put(np.asarray(v210.fill_buf(hw, hh)[0]))
     mat = jax.device_put(jnp.asarray(

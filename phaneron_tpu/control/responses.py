@@ -55,7 +55,7 @@ class ResponseTables:
             "REMOVE": _const("202 REMOVE OK"),
             "MIXER": _const("202 MIXER OK"),
             "CHANNEL_GRID": _const("202 CHANNEL_GRID OK"),
-            "DIAG": _const("202 DIAG OK"),
+            "DIAG": self._diag,
             "PRINT": _const("202 PRINT OK"),
             "CALL": _const("202 CALL OK"),
             "SWAP": _const("202 SWAP OK"),
@@ -88,6 +88,19 @@ class ResponseTables:
                 "CLS": _const(_MEDIA_220),
             },
         }
+
+    def _diag(self, _cmd: list[str]) -> str:
+        """DIAG prints the per-stage timing tables + HBM census to the
+        server log (the reference's showTimings tables + logBuffers,
+        SURVEY.md §5.1)."""
+        if self.server is not None:
+            from ..utils.metrics import device_memory_stats
+
+            for ch in self.server.channels.values():
+                print(f"--- channel {ch.chan_id} timings ---")
+                print(ch.timings.log_table())
+            print(device_memory_stats())
+        return "202 DIAG OK"
 
     def _info(self, cmd: list[str]) -> str:
         if self.server is None:
