@@ -1,0 +1,88 @@
+"""Ahead-of-time compilation of channel programs.
+
+The reference compiles its OpenCL kernels during loadSource, so PLAY
+starts clean (SURVEY.md §3.2).  Here LOADBG/LOAD predicts the frame
+program the layer will need and AOT-compiles it (jit .lower().compile()
+— no execution, no dummy data transfer) off the frame loop, so the
+first played frame doesn't pay the multi-second XLA compile."""
+
+from __future__ import annotations
+
+import asyncio
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.formats import get_format
+from .pipeline import ChannelSpec, LayerSpec, make_channel_program
+
+__all__ = ["dummy_params", "prewarm"]
+
+
+def _plane_structs(fmt_name: str, width: int, height: int):
+    fmt = get_format(fmt_name)
+    return [
+        jax.ShapeDtypeStruct(shape, dtype) for shape, dtype in fmt.plane_shapes(width, height)
+    ]
+
+
+def _layer_struct(ls: LayerSpec, spec: ChannelSpec) -> dict:
+    w, h = ls.src_size if ls.src_size else (spec.width, spec.height)
+    params: dict = {}
+    if ls.deinterlace:
+        params["src_ring"] = jax.ShapeDtypeStruct((3, 4, h, w), jnp.float32)
+        params["parity"] = jax.ShapeDtypeStruct((), jnp.int32)
+    elif ls.src_format == "rgba_f32":
+        params["src"] = jax.ShapeDtypeStruct((4, h, w), jnp.float32)
+    else:
+        params["src"] = _plane_structs(ls.src_format, w, h)
+    if ls.has_transform:
+        params["matrix"] = jax.ShapeDtypeStruct((3, 3), jnp.float32)
+        if ls.transition != "none":
+            params["matrix_b"] = jax.ShapeDtypeStruct((3, 3), jnp.float32)
+    if ls.transition == "dissolve":
+        params["mix"] = jax.ShapeDtypeStruct((), jnp.float32)
+        params["src_b"] = _plane_structs(ls.src_b_format or ls.src_format, w, h)
+    elif ls.transition == "wipe":
+        params["src_b"] = _plane_structs(ls.src_b_format or ls.src_format, w, h)
+        params["mask"] = _plane_structs(ls.mask_format or ls.src_format, w, h)
+    return params
+
+
+def dummy_params(spec: ChannelSpec) -> dict:
+    return {"layers": [_layer_struct(ls, spec) for ls in spec.layers]}
+
+
+def _compile(spec: ChannelSpec) -> None:
+    program = make_channel_program(spec)
+    program.lower(dummy_params(spec)).compile()
+    # also AOT-compile the monolithic fused kernel the channel dispatch
+    # prefers for this structure
+    from ..ops.formats import v210 as v210fmt
+    from ..ops.pallas_kernels import make_fused_v210_program, supported_spec
+
+    if supported_spec(spec) and jax.default_backend() != "cpu":
+        words = jax.ShapeDtypeStruct(
+            (spec.height, v210fmt.pitch_bytes(spec.width) // 4), jnp.uint32
+        )
+        ls = spec.layers[-1]
+        if ls.transition == "dissolve":
+            prog = make_fused_v210_program(
+                spec.width, spec.height, spec.col_spec, spec.out_col_spec,
+                n_layers=1, transition="dissolve",
+            )
+            prog.lower([words, words], mix=jax.ShapeDtypeStruct((), jnp.float32)).compile()
+        else:
+            prog = make_fused_v210_program(
+                spec.width, spec.height, spec.col_spec, spec.out_col_spec
+            )
+            prog.lower([words]).compile()
+
+
+async def prewarm(spec: ChannelSpec) -> None:
+    """Compile a channel program off the event loop; failures are
+    logged, never raised (prediction is best-effort)."""
+    try:
+        await asyncio.to_thread(_compile, spec)
+    except Exception as err:
+        print(f"prewarm failed for {spec}: {err}")

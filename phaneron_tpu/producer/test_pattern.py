@@ -42,23 +42,29 @@ _BAR_COLOURS = np.array(
 )
 
 
-def _pattern_rgba(kind: str, width: int, height: int, phase: float) -> np.ndarray:
+def _pattern_rgba(kind: str, width: int, height: int, phase: float):
     """Pattern values are constant across each horizontal pixel PAIR so
     the packed 4:2:2 output has chroma consistent with both lumas of a
     pair; mixed pairs would produce out-of-gamut (Y, C) combinations
     that saturate in the colour matrix and cannot round-trip (the
-    reference's convert_*_sat kernels clamp identically)."""
-    rgba = np.zeros((4, height, width), dtype=np.float32)
-    rgba[3] = 1.0
+    reference's convert_*_sat kernels clamp identically).
+
+    Built ON DEVICE (jnp): only a width-long row is computed then
+    broadcast — no multi-MB host->device pattern uploads at init."""
+    import jax.numpy as jnp
+
     pairs = (width + 1) // 2
-    px = np.repeat(np.arange(pairs) * 2, 2)[:width]
+    px = jnp.repeat(jnp.arange(pairs) * 2, 2)[:width]
     if kind == "BARS":
-        xs = ((px / width + phase) % 1.0 * 8).astype(int).clip(0, 7)
-        rgba[:3] = _BAR_COLOURS[xs].T[:, None, :]
+        xs = ((px / width + phase) % 1.0 * 8).astype(jnp.int32).clip(0, 7)
+        row = jnp.asarray(_BAR_COLOURS)[xs].T  # (3, W)
     elif kind == "RAMP":
-        ramp = ((px / width + phase) % 1.0).astype(np.float32)
-        rgba[:3] = ramp[None, None, :]
-    return rgba
+        row = jnp.broadcast_to(((px / width + phase) % 1.0).astype(jnp.float32), (3, width))
+    else:
+        row = jnp.zeros((3, width), dtype=jnp.float32)
+    rgb = jnp.broadcast_to(row[:, None, :], (3, height, width))
+    alpha = jnp.ones((1, height, width), dtype=jnp.float32)
+    return jnp.concatenate([rgb, alpha])
 
 
 class TestPatternProducer(Producer):
@@ -78,15 +84,30 @@ class TestPatternProducer(Producer):
         self.length = params.length
 
     async def initialise(self) -> None:
-        import jax
+        import asyncio
 
-        w, h = self.fmt.width, self.fmt.height
-        pack = make_pack_program(self.pix_format, w, h, "709")
-        for i in range(self.n_phases):
-            rgba = _pattern_rgba(self.kind, w, h, i / max(self.n_phases * 8, 1))
-            planes = pack(rgba)
-            self._frames.append([jax.device_put(p) for p in planes])
-        jax.block_until_ready(self._frames[-1])
+        import jax
+        import jax.numpy as jnp
+
+        def build():
+            w, h = self.fmt.width, self.fmt.height
+            pack = make_pack_program(self.pix_format, w, h, "709")
+            kind = self.kind
+
+            # one compiled program over a traced phase scalar: a single
+            # compile + n_phases executions (eager per-op dispatch would
+            # cost a compile round-trip per op on remote backends)
+            @jax.jit
+            def packed_phase(phase):
+                return pack(_pattern_rgba(kind, w, h, phase))
+
+            for i in range(self.n_phases):
+                self._frames.append(
+                    packed_phase(jnp.float32(i / max(self.n_phases * 8, 1)))
+                )
+            jax.block_until_ready(self._frames[-1])
+
+        await asyncio.to_thread(build)
 
     def video_stream(self) -> Stream:
         async def gen():

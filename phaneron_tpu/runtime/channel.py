@@ -106,6 +106,7 @@ class Channel:
         self._task: Optional[asyncio.Task] = None
         # per-frame latency stats (SURVEY.md §5.1 first-class metric)
         self.frame_times: list[float] = []
+        self._last_layer_specs: dict[int, Any] = {}
         from ..utils.metrics import StageTimings
 
         self.timings = StageTimings()
@@ -153,7 +154,48 @@ class Channel:
             mask_producer=mask_producer,
             mask_mixer=mask_mixer,
         )
+        self._prewarm_for(layer_num, producer, transition)
         return True
+
+    def _prewarm_for(self, layer_num: int, producer, transition) -> None:
+        """AOT-compile the frame programs PLAY will need (the reference
+        compiles kernels during loadSource, SURVEY.md §3.2)."""
+        from ..graph.pipeline import LayerSpec
+        from ..graph.warmup import prewarm
+
+        deint = producer.fmt.interlaced and producer.pix_format != "rgba_f32"
+        base = LayerSpec(
+            src_format="rgba_f32" if deint else producer.pix_format,
+            deinterlace=deint,
+        )
+        predicted = [base]
+        if transition is not None and transition.type in ("dissolve", "wipe"):
+            predicted.append(
+                base._replace(
+                    transition=transition.type,
+                    src_b_format=None if deint else producer.pix_format,
+                    mask_format="v210" if transition.type == "wipe" else None,
+                )
+            )
+        others = tuple(
+            s for num, s in (self._last_layer_specs or {}).items() if num != layer_num
+        )
+        for lspec in predicted:
+            spec = ChannelSpec(
+                self.fmt.width,
+                self.fmt.height,
+                self.out_format,
+                others + (lspec,),
+                self.col_spec,
+                self.col_spec,
+                self.gamma_mode,
+                emit_rgba=self._needs_rgba(),
+                pallas_stages=self.use_pallas,
+            )
+            try:
+                asyncio.get_running_loop().create_task(prewarm(spec))
+            except RuntimeError:
+                pass  # no loop (synchronous tests): lazy compile instead
 
     def play(self, layer_num: int) -> bool:
         if layer_num not in self.layers:
@@ -314,6 +356,7 @@ class Channel:
             else silence(self.fmt.audio_channels, self.fmt.samples_per_frame)
         )
 
+        self._last_layer_specs = dict(zip(contrib_layers, (c.spec for c in contribs)))
         stamps = [c.loadstamp for c in contribs if c.loadstamp is not None]
         frame = ChannelFrame(
             timestamp=self.timestamp,
