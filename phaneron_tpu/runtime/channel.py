@@ -168,7 +168,7 @@ class Channel:
             src_format="rgba_f32" if deint else producer.pix_format,
             deinterlace=deint,
         )
-        predicted = [base]
+        predicted = [base, base._replace(has_transform=True)]
         if transition is not None and transition.type in ("dissolve", "wipe"):
             predicted.append(
                 base._replace(
@@ -348,7 +348,10 @@ class Channel:
             emit_rgba=self._needs_rgba(),
             pallas_stages=self.use_pallas,
         )
-        packed, rgba = self._dispatch(spec, contribs)
+        # dispatch on a worker thread: a structural change can trigger an
+        # XLA compile here, which must stall only this channel — never
+        # the event loop (AMCP/OSC stay responsive; other channels tick)
+        packed, rgba = await asyncio.to_thread(self._dispatch, spec, contribs)
 
         audio = (
             amix([c.audio for c in contribs])
@@ -437,6 +440,16 @@ class Channel:
 
     def start(self) -> None:
         if self._task is None or self._task.done():
+            # precompile the empty-channel (black/silence) program so the
+            # pacing loop starts clean
+            from ..graph.warmup import prewarm
+
+            spec = ChannelSpec(
+                self.fmt.width, self.fmt.height, self.out_format, (),
+                self.col_spec, self.col_spec, self.gamma_mode,
+                emit_rgba=self._needs_rgba(), pallas_stages=self.use_pallas,
+            )
+            asyncio.create_task(prewarm(spec))
             self._task = asyncio.create_task(self.run())
 
     async def shutdown(self) -> None:

@@ -320,9 +320,24 @@ class Layer:
         mixer = self.cur.mixer
         has_tf = not mixer.is_identity
 
-        if self.transition is not None and self.next is not None:
-            tr = self.transition
+        in_transition = self.transition is not None and self.next is not None
+        next_params = None
+        if in_transition:
             next_params = await self.next.tick()
+            if next_params is None:
+                # the incoming source hasn't produced a frame: hold the
+                # transition and show cur alone this tick — found by the
+                # soak test as a KeyError('src_b') crash.  If it died
+                # before ever producing, cancel the transition.
+                if self.next.ended:
+                    self.next.release()
+                    self.next = None
+                    self.transition = None
+                    self._transition_done.set()
+                in_transition = False
+
+        if in_transition:
+            tr = self.transition
             self.transition_pos += 1
             k = self.transition_pos
             mix = max(0.0, 1.0 - k / max(tr.length, 1))
@@ -338,8 +353,8 @@ class Layer:
                     params["src_b_ring"] = next_params["src_ring"]
                     params["parity"] = next_params["parity"]
                 src_b_format = nf["src_format"]
-            else:
-                src_b_format = self.next.producer.pix_format
+            else:  # unreachable: next_params None handled above
+                src_b_format = cur_fields["src_format"]
 
             if has_tf:
                 import jax.numpy as jnp
