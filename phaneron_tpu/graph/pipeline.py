@@ -78,6 +78,9 @@ class ChannelSpec(NamedTuple):
     # kernels inside this program (TPU; interpret mode on CPU)
 
 
+_PLANAR422 = ("yuv422p10le", "yuv422p10", "yuv422p", "yuv422p8")
+
+
 def _unpack(fmt_name: str, planes, spec: ChannelSpec, size=None):
     fmt = get_format(fmt_name)
     w, h = size if size is not None else (spec.width, spec.height)
@@ -85,6 +88,10 @@ def _unpack(fmt_name: str, planes, spec: ChannelSpec, size=None):
         from ..ops.pallas_kernels import make_v210_unpack_rgba
 
         rgba = make_v210_unpack_rgba(w, h, spec.col_spec, spec.out_col_spec)(planes[0])
+    elif fmt_name in _PLANAR422 and spec.pallas_stages:
+        from ..ops.pallas_kernels import make_planar422_unpack_rgba
+
+        rgba = make_planar422_unpack_rgba(fmt_name, w, h, spec.col_spec, spec.out_col_spec)(planes)
     else:
         loader = _loader(fmt_name, spec)
         rgba = fio.to_rgba(fmt, planes, loader, w, h)
@@ -163,6 +170,10 @@ def _channel_frame(spec: ChannelSpec, params: dict):
         from ..ops.pallas_kernels import make_v210_pack_rgba
 
         packed = [make_v210_pack_rgba(w, h, spec.out_col_spec)(composited)]
+    elif spec.out_format in _PLANAR422 and spec.pallas_stages:
+        from ..ops.pallas_kernels import make_planar422_pack_rgba
+
+        packed = make_planar422_pack_rgba(spec.out_format, w, h, spec.out_col_spec)(composited)
     else:
         out_fmt = get_format(spec.out_format)
         saver = _saver_cached(spec.out_format, spec.out_col_spec, spec.gamma_mode)

@@ -336,6 +336,165 @@ def make_v210_pack_rgba(
     return pack
 
 
+@lru_cache(maxsize=None)
+def make_planar422_unpack_rgba(
+    fmt_name: str,
+    width: int,
+    height: int,
+    col_spec: str = "709",
+    out_col_spec: str = "709",
+    rows_per_block: int = 16,
+    interpret: bool | None = None,
+):
+    """Planar 4:2:2 (yuv422p10le / yuv422p8) -> linear RGBA (4, H, W).
+
+    Pixel-pair phase planes: luma splits into even/odd sample planes of
+    (H, pitch/2) so both pixels of a pair pair with the same chroma
+    sample — all lane-aligned elementwise ops, like the v210 kernel."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    from .formats import get_format
+
+    fmt = get_format(fmt_name)
+    info = fmt.INFO
+    p = fmt.pitch(width)
+    half = p // 2
+
+    col_fwd = [
+        [float(v) for v in row]
+        for row in cm.ycbcr2rgb_matrix(
+            col_spec, info.num_bits, info.luma_black, info.luma_white, info.chroma_range
+        )
+    ]
+    gamut = [[float(v) for v in row] for row in cm.rgb2rgb_matrix(col_spec, out_col_spec)]
+
+    def g2l(x):
+        return gamma2linear_at_index(col_spec, u16_sat_rte(x * 65535.0))
+
+    def kernel(ye, yo, u, v, out_ref):
+        uf = u[:].astype(jnp.float32)
+        vf = v[:].astype(jnp.float32)
+        for phase, yref in enumerate((ye, yo)):
+            yf = yref[:].astype(jnp.float32)
+            chans = []
+            for c in range(3):
+                gam = col_fwd[c][0] * yf + col_fwd[c][1] * uf + col_fwd[c][2] * vf + col_fwd[c][3]
+                chans.append(g2l(gam))
+            for c in range(3):
+                out_ref[c, phase] = (
+                    gamut[c][0] * chans[0] + gamut[c][1] * chans[1] + gamut[c][2] * chans[2]
+                )
+            out_ref[3, phase] = jnp.ones_like(chans[0])
+
+    r = rows_per_block
+    while height % r:
+        r //= 2
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(height // r,),
+        in_specs=[
+            pl.BlockSpec((r, half), lambda i: (i, 0), memory_space=pltpu.VMEM)
+            for _ in range(4)
+        ],
+        out_specs=pl.BlockSpec(
+            (4, 2, r, half), lambda i: (0, 0, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((4, 2, height, half), jnp.float32),
+        interpret=interpret,
+    )
+
+    def unpack(planes) -> jnp.ndarray:
+        y, u, v = (pl_.astype(jnp.int32) for pl_ in planes)
+        phases = call(y[:, 0::2], y[:, 1::2], u, v)
+        spatial = phases.transpose(0, 2, 3, 1).reshape(4, height, p)
+        return spatial[:, :, :width]
+
+    return unpack
+
+
+@lru_cache(maxsize=None)
+def make_planar422_pack_rgba(
+    fmt_name: str,
+    width: int,
+    height: int,
+    out_col_spec: str = "709",
+    rows_per_block: int = 16,
+    interpret: bool | None = None,
+):
+    """Linear RGBA (4, H, W) -> planar 4:2:2 planes."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    from .formats import get_format
+
+    fmt = get_format(fmt_name)
+    info = fmt.INFO
+    p = fmt.pitch(width)
+    half = p // 2
+    cnull = 128 << (info.num_bits - 8)
+    code_mask = (1 << info.num_bits) - 1
+    out_np_dtype = jnp.uint16 if info.num_bits > 8 else jnp.uint8
+
+    col_bwd = [
+        [float(v) for v in row]
+        for row in cm.rgb2ycbcr_matrix(
+            out_col_spec, info.num_bits, info.luma_black, info.luma_white, info.chroma_range
+        )
+    ]
+
+    def l2g(x):
+        return linear2gamma_at_index(out_col_spec, u16_sat_rte(x * 65535.0))
+
+    def kernel(in_ref, ye_ref, yo_ref, u_ref, v_ref):
+        lanes = jax.lax.broadcasted_iota(jnp.int32, ye_ref.shape, dimension=1)
+        # pitch padding packs as black / chroma null (write-kernel tail
+        # defaults, yuv422p10.ts:180-182)
+        codes = []
+        for phase in range(2):
+            rp, gp, bp = (l2g(in_ref[c, phase]) for c in range(3))
+            y = u16_sat_rte(col_bwd[0][0] * rp + col_bwd[0][1] * gp + col_bwd[0][2] * bp + col_bwd[0][3]) & code_mask
+            u = u16_sat_rte(col_bwd[1][0] * rp + col_bwd[1][1] * gp + col_bwd[1][2] * bp + col_bwd[1][3]) & code_mask
+            v = u16_sat_rte(col_bwd[2][0] * rp + col_bwd[2][1] * gp + col_bwd[2][2] * bp + col_bwd[2][3]) & code_mask
+            codes.append((y, u, v))
+        ye_valid = (lanes * 2) < width
+        yo_valid = (lanes * 2 + 1) < width
+        c_valid = lanes < ((width + 1) // 2)
+        ye_ref[:] = jnp.where(ye_valid, codes[0][0], info.luma_black)
+        yo_ref[:] = jnp.where(yo_valid, codes[1][0], info.luma_black)
+        # chroma from even pixels (yuv422p10.ts:169-170)
+        u_ref[:] = jnp.where(c_valid, codes[0][1], cnull)
+        v_ref[:] = jnp.where(c_valid, codes[0][2], cnull)
+
+    r = rows_per_block
+    while height % r:
+        r //= 2
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(height // r,),
+        in_specs=[
+            pl.BlockSpec((4, 2, r, half), lambda i: (0, 0, i, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=[
+            pl.BlockSpec((r, half), lambda i: (i, 0), memory_space=pltpu.VMEM)
+            for _ in range(4)
+        ],
+        out_shape=[jax.ShapeDtypeStruct((height, half), jnp.int32) for _ in range(4)],
+        interpret=interpret,
+    )
+
+    def pack(rgba: jnp.ndarray):
+        pad = p - width
+        if pad:
+            rgba = jnp.pad(rgba, ((0, 0), (0, 0), (0, pad)))
+        phases = rgba.reshape(4, height, half, 2).transpose(0, 3, 1, 2)
+        ye, yo, u, v = call(phases)
+        y = jnp.stack([ye, yo], axis=-1).reshape(height, p).astype(out_np_dtype)
+        return [y, u.astype(out_np_dtype), v.astype(out_np_dtype)]
+
+    return pack
+
+
 def supported_spec(spec) -> bool:
     """Which channel structures this fused kernel covers (the rest run
     on the XLA path).  v210 sources unpack fully opaque, so only the TOP

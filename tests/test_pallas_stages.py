@@ -49,3 +49,50 @@ def test_channel_program_with_pallas_stages_bit_identical():
     a = np.asarray(make_channel_program(base)({"layers": [{"src": [src]}]})[0])
     b = np.asarray(make_channel_program(staged)({"layers": [{"src": [src]}]})[0])
     assert a.tobytes() == b.tobytes()
+
+
+@pytest.mark.parametrize("fmt_name", ["yuv422p10le", "yuv422p8"])
+@pytest.mark.parametrize("width,height", [(1920, 16), (720, 16)])
+def test_planar422_stage_roundtrip(fmt_name, width, height):
+    from phaneron_tpu.ops.pallas_kernels import (
+        make_planar422_pack_rgba,
+        make_planar422_unpack_rgba,
+    )
+
+    fmt = get_format(fmt_name)
+    src = [np.asarray(p) for p in fmt.fill_buf(width, height)]
+    unpack = make_planar422_unpack_rgba(fmt_name, width, height, interpret=True)
+    pack = make_planar422_pack_rgba(fmt_name, width, height, interpret=True)
+    outs = pack(unpack([jnp.asarray(p) for p in src]))
+    for a, b in zip(src, outs):
+        out = np.asarray(b)
+        assert out.dtype == a.dtype and out.shape == a.shape
+        assert out.tobytes() == a.tobytes()
+
+
+def test_planar422_stage_matches_xla_codes():
+    fmt = get_format("yuv422p10le")
+    w, h = 720, 16
+    src = [np.asarray(p) for p in fmt.fill_buf(w, h)]
+    loader = make_loader(fmt.INFO, "709", "709", "analytic")
+    xla = np.asarray(to_rgba(fmt, [jnp.asarray(p) for p in src], loader, w, h))
+    from phaneron_tpu.ops.pallas_kernels import make_planar422_unpack_rgba
+
+    pallas = np.asarray(
+        make_planar422_unpack_rgba("yuv422p10le", w, h, interpret=True)(
+            [jnp.asarray(p) for p in src]
+        )
+    )
+    assert np.abs(pallas - xla).max() <= 4e-5  # one LUT step (FMA formation)
+
+
+def test_channel_program_planar422_stages():
+    w, h = 96, 32
+    fmt = get_format("yuv422p8")
+    src = [np.asarray(p) for p in fmt.fill_buf(w, h)]
+    base = ChannelSpec(w, h, "yuv422p8", layers=(LayerSpec("yuv422p8"),))
+    staged = base._replace(pallas_stages=True)
+    a = make_channel_program(base)({"layers": [{"src": src}]})
+    b = make_channel_program(staged)({"layers": [{"src": src}]})
+    for pa, pb in zip(a, b):
+        assert np.asarray(pa).tobytes() == np.asarray(pb).tobytes()
