@@ -31,7 +31,6 @@ from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -82,55 +81,78 @@ def _phase_masks(width: int, g: int, shape):
     return y_masks, c_masks
 
 
-def _make_kernel(spec_key):
-    (width, height, col_spec, out_col_spec, n_layers, transition) = spec_key
-    g = v210fmt.pitch(width) // 6
 
-    # matrices bake into the kernel as scalar literals (Pallas kernels
-    # cannot capture array constants); float() of an f32 is exact
-    col_fwd = [
-        [float(v) for v in row]
-        for row in cm.ycbcr2rgb_matrix(col_spec, 10, 64, 940, 896)
-    ]
-    gamut = [[float(v) for v in row] for row in cm.rgb2rgb_matrix(col_spec, out_col_spec)]
-    col_bwd = [
-        [float(v) for v in row]
-        for row in cm.rgb2ycbcr_matrix(out_col_spec, 10, 64, 940, 896)
-    ]
+def _literals(matrix) -> list[list[float]]:
+    """Bake an f32 matrix into scalar literals (Pallas kernels cannot
+    capture array constants); float() of an f32 value is exact."""
+    return [[float(v) for v in row] for row in matrix]
 
+
+def _gamma_fns(col_spec: str, out_col_spec: str):
     def g2l(x):
         return gamma2linear_at_index(col_spec, u16_sat_rte(x * 65535.0))
 
     def l2g(x):
         return linear2gamma_at_index(out_col_spec, u16_sat_rte(x * 65535.0))
 
+    return g2l, l2g
+
+
+def _decode_yuv(yf, uf, vf, col_fwd, gamut, g2l):
+    """One phase: float code planes -> linear (r, g, b) tiles
+    (colour matrix -> gamma -> gamut, the read-kernel core)."""
+    chans = []
+    for c in range(3):
+        gam = col_fwd[c][0] * yf + col_fwd[c][1] * uf + col_fwd[c][2] * vf + col_fwd[c][3]
+        chans.append(g2l(gam))
+    return tuple(
+        gamut[c][0] * chans[0] + gamut[c][1] * chans[1] + gamut[c][2] * chans[2]
+        for c in range(3)
+    )
+
+
+def _encode_rgb(rp, gp, bp, col_bwd, l2g, code_mask):
+    """One phase: linear (r, g, b) tiles -> integer (y, u, v) codes
+    (gamma -> colour matrix -> rte, the write-kernel core)."""
+    rp, gp, bp = l2g(rp), l2g(gp), l2g(bp)
+    out = []
+    for c in range(3):
+        out.append(
+            u16_sat_rte(
+                col_bwd[c][0] * rp + col_bwd[c][1] * gp + col_bwd[c][2] * bp + col_bwd[c][3]
+            )
+            & code_mask
+        )
+    return tuple(out)
+
+
+def _make_kernel(spec_key):
+    (width, height, col_spec, out_col_spec, n_layers, transition) = spec_key
+    g = v210fmt.pitch(width) // 6
+
+    col_fwd = _literals(cm.ycbcr2rgb_matrix(col_spec, 10, 64, 940, 896))
+    gamut = _literals(cm.rgb2rgb_matrix(col_spec, out_col_spec))
+    col_bwd = _literals(cm.rgb2ycbcr_matrix(out_col_spec, 10, 64, 940, 896))
+    g2l, l2g = _gamma_fns(col_spec, out_col_spec)
+
     def decode_layer(planes_refs):
         """Four (R, G) word tiles -> per-phase linear RGB (+alpha=1)."""
         ys, cbs, crs = _unpack_phases(*[r[:] for r in planes_refs])
-        rgb_phases = []
-        for p in range(6):
-            yf = ys[p].astype(jnp.float32)
-            uf = cbs[p // 2].astype(jnp.float32)
-            vf = crs[p // 2].astype(jnp.float32)
-            chans = []
-            for c in range(3):
-                gam = col_fwd[c][0] * yf + col_fwd[c][1] * uf + col_fwd[c][2] * vf + col_fwd[c][3]
-                chans.append(g2l(gam))
-            r = gamut[0][0] * chans[0] + gamut[0][1] * chans[1] + gamut[0][2] * chans[2]
-            gg = gamut[1][0] * chans[0] + gamut[1][1] * chans[1] + gamut[1][2] * chans[2]
-            b = gamut[2][0] * chans[0] + gamut[2][1] * chans[1] + gamut[2][2] * chans[2]
-            rgb_phases.append((r, gg, b))
-        return rgb_phases
+        return [
+            _decode_yuv(
+                ys[p].astype(jnp.float32),
+                cbs[p // 2].astype(jnp.float32),
+                crs[p // 2].astype(jnp.float32),
+                col_fwd,
+                gamut,
+                g2l,
+            )
+            for p in range(6)
+        ]
 
     def encode(rgb_phases, y_masks, c_masks, out_refs):
         """Per-phase linear RGB -> packed word planes."""
-        codes = []
-        for p in range(6):
-            rp, gp, bp = (l2g(ch) for ch in rgb_phases[p])
-            y = u16_sat_rte(col_bwd[0][0] * rp + col_bwd[0][1] * gp + col_bwd[0][2] * bp + col_bwd[0][3])
-            u = u16_sat_rte(col_bwd[1][0] * rp + col_bwd[1][1] * gp + col_bwd[1][2] * bp + col_bwd[1][3])
-            v = u16_sat_rte(col_bwd[2][0] * rp + col_bwd[2][1] * gp + col_bwd[2][2] * bp + col_bwd[2][3])
-            codes.append((y & 0x3FF, u & 0x3FF, v & 0x3FF))
+        codes = [_encode_rgb(*rgb_phases[p], col_bwd, l2g, 0x3FF) for p in range(6)]
 
         def maskp(x, p):
             return jnp.where(y_masks[p], x, 0) if y_masks is not None else x
@@ -273,23 +295,15 @@ def make_v210_pack_rgba(
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     g = v210fmt.pitch(width) // 6
-    col_bwd = [
-        [float(v) for v in row]
-        for row in cm.rgb2ycbcr_matrix(out_col_spec, 10, 64, 940, 896)
-    ]
-
-    def l2g(x):
-        return linear2gamma_at_index(out_col_spec, u16_sat_rte(x * 65535.0))
+    col_bwd = _literals(cm.rgb2ycbcr_matrix(out_col_spec, 10, 64, 940, 896))
+    _, l2g = _gamma_fns(out_col_spec, out_col_spec)
 
     def kernel(in_ref, o0, o1, o2, o3):
         y_masks, c_masks = _phase_masks(width, g, o0.shape)
-        codes = []
-        for p in range(6):
-            rp, gp, bp = l2g(in_ref[0, p]), l2g(in_ref[1, p]), l2g(in_ref[2, p])
-            y = u16_sat_rte(col_bwd[0][0] * rp + col_bwd[0][1] * gp + col_bwd[0][2] * bp + col_bwd[0][3])
-            u = u16_sat_rte(col_bwd[1][0] * rp + col_bwd[1][1] * gp + col_bwd[1][2] * bp + col_bwd[1][3])
-            v = u16_sat_rte(col_bwd[2][0] * rp + col_bwd[2][1] * gp + col_bwd[2][2] * bp + col_bwd[2][3])
-            codes.append((y & 0x3FF, u & 0x3FF, v & 0x3FF))
+        codes = [
+            _encode_rgb(in_ref[0, p], in_ref[1, p], in_ref[2, p], col_bwd, l2g, 0x3FF)
+            for p in range(6)
+        ]
 
         def maskp(x, p):
             return jnp.where(y_masks[p], x, 0) if y_masks is not None else x
@@ -360,31 +374,22 @@ def make_planar422_unpack_rgba(
     p = fmt.pitch(width)
     half = p // 2
 
-    col_fwd = [
-        [float(v) for v in row]
-        for row in cm.ycbcr2rgb_matrix(
+    col_fwd = _literals(
+        cm.ycbcr2rgb_matrix(
             col_spec, info.num_bits, info.luma_black, info.luma_white, info.chroma_range
         )
-    ]
-    gamut = [[float(v) for v in row] for row in cm.rgb2rgb_matrix(col_spec, out_col_spec)]
-
-    def g2l(x):
-        return gamma2linear_at_index(col_spec, u16_sat_rte(x * 65535.0))
+    )
+    gamut = _literals(cm.rgb2rgb_matrix(col_spec, out_col_spec))
+    g2l, _ = _gamma_fns(col_spec, out_col_spec)
 
     def kernel(ye, yo, u, v, out_ref):
         uf = u[:].astype(jnp.float32)
         vf = v[:].astype(jnp.float32)
         for phase, yref in enumerate((ye, yo)):
-            yf = yref[:].astype(jnp.float32)
-            chans = []
+            rgb = _decode_yuv(yref[:].astype(jnp.float32), uf, vf, col_fwd, gamut, g2l)
             for c in range(3):
-                gam = col_fwd[c][0] * yf + col_fwd[c][1] * uf + col_fwd[c][2] * vf + col_fwd[c][3]
-                chans.append(g2l(gam))
-            for c in range(3):
-                out_ref[c, phase] = (
-                    gamut[c][0] * chans[0] + gamut[c][1] * chans[1] + gamut[c][2] * chans[2]
-                )
-            out_ref[3, phase] = jnp.ones_like(chans[0])
+                out_ref[c, phase] = rgb[c]
+            out_ref[3, phase] = jnp.ones_like(rgb[0])
 
     r = rows_per_block
     while height % r:
@@ -435,27 +440,21 @@ def make_planar422_pack_rgba(
     code_mask = (1 << info.num_bits) - 1
     out_np_dtype = jnp.uint16 if info.num_bits > 8 else jnp.uint8
 
-    col_bwd = [
-        [float(v) for v in row]
-        for row in cm.rgb2ycbcr_matrix(
+    col_bwd = _literals(
+        cm.rgb2ycbcr_matrix(
             out_col_spec, info.num_bits, info.luma_black, info.luma_white, info.chroma_range
         )
-    ]
-
-    def l2g(x):
-        return linear2gamma_at_index(out_col_spec, u16_sat_rte(x * 65535.0))
+    )
+    _, l2g = _gamma_fns(out_col_spec, out_col_spec)
 
     def kernel(in_ref, ye_ref, yo_ref, u_ref, v_ref):
         lanes = jax.lax.broadcasted_iota(jnp.int32, ye_ref.shape, dimension=1)
         # pitch padding packs as black / chroma null (write-kernel tail
         # defaults, yuv422p10.ts:180-182)
-        codes = []
-        for phase in range(2):
-            rp, gp, bp = (l2g(in_ref[c, phase]) for c in range(3))
-            y = u16_sat_rte(col_bwd[0][0] * rp + col_bwd[0][1] * gp + col_bwd[0][2] * bp + col_bwd[0][3]) & code_mask
-            u = u16_sat_rte(col_bwd[1][0] * rp + col_bwd[1][1] * gp + col_bwd[1][2] * bp + col_bwd[1][3]) & code_mask
-            v = u16_sat_rte(col_bwd[2][0] * rp + col_bwd[2][1] * gp + col_bwd[2][2] * bp + col_bwd[2][3]) & code_mask
-            codes.append((y, u, v))
+        codes = [
+            _encode_rgb(in_ref[0, p], in_ref[1, p], in_ref[2, p], col_bwd, l2g, code_mask)
+            for p in range(2)
+        ]
         ye_valid = (lanes * 2) < width
         yo_valid = (lanes * 2 + 1) < width
         c_valid = lanes < ((width + 1) // 2)
