@@ -14,7 +14,6 @@ import jax.numpy as jnp
 
 from .coeffs import Loader, Saver
 from .colorspace import rgb_gamut, rgba_to_ycbcr, ycbcr_to_rgba
-from .formats.common import Interlace
 from .quant import u8_sat_rte
 
 __all__ = ["to_rgba", "from_rgba", "interleave_rgba_fields"]
@@ -67,6 +66,3 @@ def interleave_rgba_fields(top: jnp.ndarray, bottom: jnp.ndarray) -> jnp.ndarray
     sel = (jnp.arange(top.shape[-2]) % 2 == 0)[None, :, None]
     return jnp.where(sel, top, bottom)
 
-
-# Re-export for convenience
-INTERLACE = Interlace
