@@ -254,6 +254,21 @@ class Channel:
         combiner RGBA output; layer taps get that layer's source frames."""
         tap = _Tap()
         if layer is None:
+            # attaching a tap flips this channel's program to emit_rgba:
+            # precompile that variant so the switch doesn't stall frames
+            if self._last_layer_specs:
+                from ..graph.warmup import prewarm
+
+                spec = ChannelSpec(
+                    self.fmt.width, self.fmt.height, self.out_format,
+                    tuple(self._last_layer_specs[n] for n in sorted(self._last_layer_specs)),
+                    self.col_spec, self.col_spec, self.gamma_mode,
+                    emit_rgba=True, pallas_stages=self.use_pallas,
+                )
+                try:
+                    asyncio.get_running_loop().create_task(prewarm(spec))
+                except RuntimeError:
+                    pass
             self.taps.append(tap)
             video, audio = tap.streams()
             return video, audio, RGBA_F32

@@ -199,3 +199,52 @@ def test_raw_file_roundtrip_via_producer(tmp_path):
         assert a == b  # bit-exact through write -> read -> composite -> write
 
     run(main())
+
+
+def test_wipe_transition_with_mask(tmp_path):
+    async def main():
+        ch = Channel(1, TINY, make_registry())
+        assert await ch.load_source(1, LoadParams("BARS"))
+        ch.play(1)
+        await ch.render_frame()
+        # wipe to BLACK using a RAMP mask over 4 frames
+        assert await ch.load_source(
+            1, LoadParams("BLACK"),
+            transition=TransitionSpec("wipe", 4, mask_url="RAMP"),
+        )
+        lay = ch.layer(1)
+        assert lay.mask is not None
+        ch.play(1)
+        frames = [await ch.render_frame() for _ in range(6)]
+        assert lay.transition is None  # completed + promoted
+        from phaneron_tpu.ops.formats import get_format
+
+        y, _, _ = get_format("v210").unpack_codes(
+            [np.asarray(frames[-1].packed[0])], 96, 64
+        )
+        assert np.all(np.asarray(y) == 64)  # fully wiped to black
+
+    run(main())
+
+
+def test_nv12_raw_file_source(tmp_path):
+    async def main():
+        import json
+
+        from phaneron_tpu.ops.formats import get_format
+
+        nv12 = get_format("nv12")
+        planes = nv12.fill_buf(96, 64)
+        clip = tmp_path / "clip.nv12"
+        clip.write_bytes(b"".join(np.asarray(p).tobytes() for p in planes) * 3)
+        (tmp_path / "clip.nv12.json").write_text(
+            json.dumps({"format": "nv12", "width": 96, "height": 64})
+        )
+        ch = Channel(1, TINY, make_registry())
+        assert await ch.load_source(1, LoadParams(str(clip), loop=True))
+        ch.play(1)
+        out = await ch.render_frame()
+        y, _, _ = get_format("v210").unpack_codes([np.asarray(out.packed[0])], 96, 64)
+        assert np.asarray(y).max() > 64  # nv12 ramp content flowed through
+
+    run(main())
