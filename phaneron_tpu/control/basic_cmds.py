@@ -93,6 +93,7 @@ class BasicCmds:
                 "CLEAR": self.clear,
                 "ADD": self.add,
                 "REMOVE": self.remove,
+                "SWAP": self.swap,
             },
         )
 
@@ -164,3 +165,26 @@ class BasicCmds:
         if channel is None:
             return False
         return channel.remove_consumer(chan_lay.layer or 0)
+
+    async def swap(self, chan_lay: ChanLayer, params: list[str]) -> bool:
+        """SWAP: exchange two layers (CasparCG AMCP; the reference stubs
+        it — implemented here for client compatibility)."""
+        channel = self._channel(chan_lay)
+        if channel is None or not params:
+            return False
+        from .chan_layer import chan_layer_from_string
+
+        other = chan_layer_from_string(params[0])
+        other_channel = self.channels.get(other.channel) if other.valid else None
+        if other_channel is None:
+            return False
+        if other_channel.fmt != channel.fmt:
+            return False  # layers are bound to the channel format
+        a, b = chan_lay.layer, other.layer
+        la = channel.layers.pop(a, None)
+        lb = other_channel.layers.pop(b, None)
+        if la is not None:
+            other_channel.layers[b] = la
+        if lb is not None:
+            channel.layers[a] = lb
+        return True

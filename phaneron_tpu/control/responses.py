@@ -11,6 +11,7 @@ built from actual channel state (the reference stubs INFO; SURVEY.md
 
 from __future__ import annotations
 
+import time
 from typing import Callable, Optional
 
 __all__ = ["ResponseTables", "STUB_COMMANDS"]
@@ -21,7 +22,7 @@ __all__ = ["ResponseTables", "STUB_COMMANDS"]
 # CasparCG-client-compatible.
 STUB_COMMANDS = {
     "VERSION", "CLS", "TLS", "FLS", "CINF", "INFO", "THUMBNAIL", "DATA",
-    "CG", "LOG", "SET", "LOCK", "CALL", "SWAP", "PRINT", "CHANNEL_GRID",
+    "CG", "LOG", "SET", "LOCK", "CALL", "PRINT", "CHANNEL_GRID",
     "GL", "DIAG",
 }
 
@@ -75,19 +76,38 @@ class ResponseTables:
             "207": {
                 **common,
                 "VERSION": _const("201 VERSION OK\r\n2.0.7.e9fc25a Stable"),
-                "CLS": _const(_MEDIA_207),
+                "CLS": lambda c: self._cls(_MEDIA_207),
             },
             "218": {
                 **common,
                 "VERSION": _const("201 VERSION OK\r\n2.1.8.12205 62ea2b24d NRK"),
-                "CLS": _const(_MEDIA_218),
+                "CLS": lambda c: self._cls(_MEDIA_218),
             },
             "220": {
                 **common,
                 "VERSION": _const("201 VERSION OK\r\n2.2.0 66a9e3e2 Stable"),
-                "CLS": _const(_MEDIA_220),
+                "CLS": lambda c: self._cls(_MEDIA_220),
             },
         }
+
+    def _cls(self, fallback: str) -> str:
+        """CLS: list real media files from media_root in CasparCG shape
+        (the reference serves canned lists, testResponses.ts; real files
+        beat fakes when a media dir exists)."""
+        from pathlib import Path
+
+        root = None
+        if self.server is not None:
+            root = Path(getattr(self.server.config, "media_root", "media"))
+        if root is None or not root.is_dir():
+            return fallback
+        lines = ["200 CLS OK"]
+        for p in sorted(root.iterdir()):
+            if p.suffix == ".json" or not p.is_file():
+                continue
+            stamp = time.strftime("%Y%m%d%H%M%S", time.localtime(p.stat().st_mtime))
+            lines.append(f'"{p.stem.upper()}"  MOVIE  {p.stat().st_size} {stamp} 0 25/1')
+        return "\r\n".join(lines) + "\r\n"
 
     def _diag(self, _cmd: list[str]) -> str:
         """DIAG prints the per-stage timing tables + HBM census to the

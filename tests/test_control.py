@@ -166,3 +166,32 @@ def test_heads_rundown(tmp_path):
             await ch.render_frame()
 
     run(main())
+
+
+def test_swap_layers(server_cfg):
+    responses, _ = amcp_session(
+        server_cfg,
+        [
+            "PLAY 1-1 BARS",
+            "PLAY 1-2 RAMP",
+            "SWAP 1-1 1-2",
+            "SWAP 1-1 9-1",  # bad target channel
+        ],
+    )
+    assert responses[2] == "202 SWAP OK"
+    assert responses[3].startswith("400 ERROR")
+
+
+def test_cls_lists_real_media(tmp_path, server_cfg):
+    (tmp_path / "media").mkdir()
+    (tmp_path / "media" / "clip.1920x1080.v210").write_bytes(b"x" * 64)
+    server_cfg_media = server_cfg
+    import os
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        responses, _ = amcp_session(server_cfg_media, ["CLS"])
+        assert responses[0] == "200 CLS OK"
+    finally:
+        os.chdir(cwd)
