@@ -94,6 +94,7 @@ class BasicCmds:
                 "ADD": self.add,
                 "REMOVE": self.remove,
                 "SWAP": self.swap,
+                "CALL": self.call,
             },
         )
 
@@ -165,6 +166,23 @@ class BasicCmds:
         if channel is None:
             return False
         return channel.remove_consumer(chan_lay.layer or 0)
+
+    async def call(self, chan_lay: ChanLayer, params: list[str]) -> bool:
+        """CALL 1-1 SEEK n | LOOP 0/1: runtime producer control
+        (CasparCG AMCP; the reference stubs CALL)."""
+        channel = self._channel(chan_lay)
+        if channel is None or len(params) < 2:
+            return False
+        layer = channel.layers.get(chan_lay.layer)
+        if layer is None or layer.cur is None:
+            return False
+        producer = layer.cur.producer
+        op = params[0].upper()
+        if op == "SEEK":
+            return producer.seek(int(params[1]))
+        if op == "LOOP":
+            return producer.set_loop(params[1] not in ("0", "false", "FALSE"))
+        return False
 
     async def swap(self, chan_lay: ChanLayer, params: list[str]) -> bool:
         """SWAP: exchange two layers (CasparCG AMCP; the reference stubs

@@ -22,7 +22,7 @@ __all__ = ["ResponseTables", "STUB_COMMANDS"]
 # CasparCG-client-compatible.
 STUB_COMMANDS = {
     "VERSION", "CLS", "TLS", "FLS", "CINF", "INFO", "THUMBNAIL", "DATA",
-    "CG", "LOG", "SET", "LOCK", "CALL", "PRINT", "CHANNEL_GRID",
+    "CG", "LOG", "SET", "LOCK", "PRINT", "CHANNEL_GRID",
     "GL", "DIAG",
 }
 

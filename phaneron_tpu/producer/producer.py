@@ -65,6 +65,15 @@ class Producer(ABC):
     def set_paused(self, paused: bool) -> None:
         self.paused = paused
 
+    def seek(self, frame: int) -> bool:
+        """Runtime seek (AMCP CALL SEEK); producers without random
+        access return False."""
+        return False
+
+    def set_loop(self, loop: bool) -> bool:
+        """Runtime loop toggle (AMCP CALL LOOP)."""
+        return False
+
     def release(self) -> None:
         self._released = True
 

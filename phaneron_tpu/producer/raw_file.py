@@ -73,6 +73,15 @@ class RawFileProducer(Producer):
         self.loop = params.loop
         self.interlaced = bool(self.meta.get("interlaced", False))
         self._mm: np.memmap | None = None
+        self._pending_seek: int | None = None
+
+    def seek(self, frame: int) -> bool:
+        self._pending_seek = frame
+        return True
+
+    def set_loop(self, loop: bool) -> bool:
+        self.loop = loop
+        return True
 
     async def initialise(self) -> None:
         fmt_mod = get_format(self.pix_format)
@@ -102,6 +111,9 @@ class RawFileProducer(Producer):
             idx = seek % self.num_frames if self.num_frames else 0
             remaining = length if length is not None else None
             while not self.released:
+                if self._pending_seek is not None:  # CALL SEEK (runtime)
+                    idx = self._pending_seek % self.num_frames
+                    self._pending_seek = None
                 if remaining is not None and remaining <= 0:
                     break
                 if idx >= self.num_frames:

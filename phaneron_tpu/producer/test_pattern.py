@@ -71,6 +71,11 @@ class TestPatternProducer(Producer):
     def __init__(self, source_id: str, params: LoadParams, fmt: VideoFormat):
         super().__init__(source_id, fmt)
         url = params.url.upper()
+        if url == "DECKLINK":
+            # SDI capture has no hardware in TPU environments; DECKLINK
+            # URLs fall through to bars so CasparCG rundowns still run
+            # (SURVEY.md §2.6 macadam row)
+            url = "BARS"
         kind, _, pix = url.partition("@")
         if kind not in _PATTERNS:
             raise InvalidProducerError(f"not a test pattern: {params.url}")

@@ -195,3 +195,39 @@ def test_cls_lists_real_media(tmp_path, server_cfg):
         assert responses[0] == "200 CLS OK"
     finally:
         os.chdir(cwd)
+
+
+def test_call_seek_on_raw_file(tmp_path, server_cfg):
+    import numpy as np
+
+    from phaneron_tpu.ops.formats import get_format
+
+    # 4-frame clip with distinct frames
+    fmt = get_format("v210")
+    frames = []
+    for k in range(4):
+        planes = fmt.fill_buf(96, 64)
+        arr = np.asarray(planes[0]).copy()
+        arr[0, 0] = k  # tag frame number in the first word
+        frames.append(arr.tobytes())
+    clip = tmp_path / "clip.96x64.v210"
+    clip.write_bytes(b"".join(frames))
+
+    responses, _ = amcp_session(
+        server_cfg,
+        [
+            f'PLAY 1-1 "{clip}" LOOP',
+            "CALL 1-1 SEEK 2",
+            "CALL 1-1 LOOP 0",
+            "CALL 1-1 NOSUCH 1",
+        ],
+    )
+    assert responses[0] == "202 PLAY OK"
+    assert responses[1] == "202 CALL OK"
+    assert responses[2] == "202 CALL OK"
+    assert responses[3].startswith("400 ERROR")
+
+
+def test_decklink_url_falls_back_to_bars(server_cfg):
+    responses, _ = amcp_session(server_cfg, ["PLAY 1-1 DECKLINK 1"])
+    assert responses[0] == "202 PLAY OK"
