@@ -55,6 +55,8 @@ class LayerSpec(NamedTuple):
     mask_format: Optional[str] = None  # wipe mask source format
     src_b_format: Optional[str] = None  # transition target source format
     deinterlace: bool = False  # source is interlaced: inputs carry a ring
+    warp_fits: bool = False  # DVE matrix within the Pallas warp kernel's
+    # window bounds (ops.pallas_warp.fits) — host-side static decision
     src_size: Optional[tuple[int, int]] = None  # (w, h) when the source
     # geometry differs from the channel: unpack at source size, then
     # stretch-fit (the reference's normalized-coordinate sampling does
@@ -132,10 +134,33 @@ def _layer_source(lspec: LayerSpec, fmt_name: str, src: dict, key: str, spec: Ch
     return _unpack(fmt_name, src[key], spec, lspec.src_size)
 
 
+# The Pallas DVE warp (ops/pallas_warp.py) currently runs at parity with
+# the XLA gather warp (~1 ms/1080p both; its row-window DMA reads ~6x the
+# source) with single-pass-bf16 interpolation weights, so it stays opt-in
+# until the window amplification is fixed.
+ENABLE_PALLAS_WARP = False
+
+
+def _pick_warp(lspec: LayerSpec, spec: ChannelSpec):
+    if not lspec.axis_aligned:
+        return warp_affine
+    if (
+        ENABLE_PALLAS_WARP
+        and spec.pallas_stages
+        and lspec.warp_fits
+        and spec.height % 8 == 0
+        and spec.width % 128 == 0
+    ):
+        from ..ops.pallas_warp import make_warp_program
+
+        return make_warp_program(spec.height, spec.width)
+    return warp_axis_aligned
+
+
 def _process_layer(lspec: LayerSpec, lparams: dict, spec: ChannelSpec) -> jnp.ndarray:
     rgba = _layer_source(lspec, lspec.src_format, lparams, "src", spec)
     if lspec.has_transform:
-        warp = warp_axis_aligned if lspec.axis_aligned else warp_affine
+        warp = _pick_warp(lspec, spec)
         rgba = warp(rgba, lparams["matrix"])
 
     if lspec.transition == "none":
@@ -144,7 +169,7 @@ def _process_layer(lspec: LayerSpec, lparams: dict, spec: ChannelSpec) -> jnp.nd
     fmt_b = lspec.src_b_format or lspec.src_format
     rgba_b = _layer_source(lspec, fmt_b, lparams, "src_b", spec)
     if lspec.has_transform:
-        warp = warp_axis_aligned if lspec.axis_aligned else warp_affine
+        warp = _pick_warp(lspec, spec)
         rgba_b = warp(rgba_b, lparams.get("matrix_b", lparams["matrix"]))
 
     if lspec.transition == "dissolve":

@@ -362,10 +362,16 @@ class Layer:
                 params["matrix"] = jnp.asarray(mixer.matrix)
                 params["matrix_b"] = jnp.asarray(self.next.mixer.matrix)
 
+            warp_fits = False
+            if has_tf:
+                from ..ops.pallas_warp import fits
+
+                warp_fits = fits(mixer.matrix) and fits(self.next.mixer.matrix)
             spec_kwargs = dict(
                 transition=tr.type,
                 has_transform=has_tf,
                 axis_aligned=mixer.axis_aligned,
+                warp_fits=warp_fits,
                 src_b_format=src_b_format,
             )
             if tr.type == "dissolve":
@@ -426,10 +432,16 @@ class Layer:
             import jax.numpy as jnp
 
             params["matrix"] = jnp.asarray(mixer.matrix)
+        warp_fits = False
+        if has_tf:
+            from ..ops.pallas_warp import fits
+
+            warp_fits = fits(mixer.matrix)
         spec = LayerSpec(
             **cur_fields,
             has_transform=has_tf,
             axis_aligned=mixer.axis_aligned,
+            warp_fits=warp_fits,
         )
         audio = await self.cur.audio_tick()
         stamp = self.cur.last.loadstamp if self.cur.last else None
