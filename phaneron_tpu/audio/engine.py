@@ -20,6 +20,7 @@ __all__ = [
     "apply_volume",
     "pan",
     "amix",
+    "crossfade",
     "adapt_channels",
     "Rechunker",
     "interleave_s32",
@@ -55,6 +56,24 @@ def adapt_channels(samples: np.ndarray, out_channels: int) -> np.ndarray:
         return samples
     idx = np.arange(out_channels) % in_channels
     return samples[idx]
+
+
+def crossfade(
+    cur: np.ndarray, nxt: np.ndarray, mix: float, constant_power: bool = False
+) -> np.ndarray:
+    """Transition audio: gain cur by ``mix`` and next by ``1-mix`` (the
+    same weights the video dissolve uses, transition.ts:60-65), instead
+    of the reference's amix/2 which ducks both sources 6 dB for the
+    whole transition (transitioner.ts:83-121 — a known defect, not
+    carried forward).  ``constant_power`` uses sqrt gains so uncorrelated
+    sources keep constant loudness through the midpoint."""
+    n = min(cur.shape[1], nxt.shape[1])
+    g_cur, g_nxt = float(mix), 1.0 - float(mix)
+    if constant_power:
+        g_cur, g_nxt = g_cur**0.5, g_nxt**0.5
+    return (
+        cur[:, :n] * np.float32(g_cur) + nxt[:, :n] * np.float32(g_nxt)
+    ).astype(np.float32)
 
 
 def amix(inputs: list[np.ndarray], normalize: bool = True) -> np.ndarray:

@@ -55,8 +55,9 @@ class LayerSpec(NamedTuple):
     mask_format: Optional[str] = None  # wipe mask source format
     src_b_format: Optional[str] = None  # transition target source format
     deinterlace: bool = False  # source is interlaced: inputs carry a ring
-    warp_fits: bool = False  # DVE matrix within the Pallas warp kernel's
-    # window bounds (ops.pallas_warp.fits) — host-side static decision
+    warp_bucket: int = -1  # Pallas warp scale bucket covering the DVE
+    # matrix (ops.pallas_warp.bucket_of) — host-side static decision;
+    # -1 falls back to the XLA gather warp
     src_size: Optional[tuple[int, int]] = None  # (w, h) when the source
     # geometry differs from the channel: unpack at source size, then
     # stretch-fit (the reference's normalized-coordinate sampling does
@@ -134,11 +135,9 @@ def _layer_source(lspec: LayerSpec, fmt_name: str, src: dict, key: str, spec: Ch
     return _unpack(fmt_name, src[key], spec, lspec.src_size)
 
 
-# The Pallas DVE warp (ops/pallas_warp.py) currently runs at parity with
-# the XLA gather warp (~1 ms/1080p both; its row-window DMA reads ~6x the
-# source) with single-pass-bf16 interpolation weights, so it stays opt-in
-# until the window amplification is fixed.
-ENABLE_PALLAS_WARP = False
+# The Pallas DVE warp: scale-bucketed DMA windows keep its HBM reads at
+# ~1.1-1.5x the consumed rows, well ahead of the XLA gather warp.
+ENABLE_PALLAS_WARP = True
 
 
 def _pick_warp(lspec: LayerSpec, spec: ChannelSpec):
@@ -147,13 +146,13 @@ def _pick_warp(lspec: LayerSpec, spec: ChannelSpec):
     if (
         ENABLE_PALLAS_WARP
         and spec.pallas_stages
-        and lspec.warp_fits
+        and lspec.warp_bucket >= 0
         and spec.height % 8 == 0
         and spec.width % 128 == 0
     ):
         from ..ops.pallas_warp import make_warp_program
 
-        return make_warp_program(spec.height, spec.width)
+        return make_warp_program(spec.height, spec.width, lspec.warp_bucket)
     return warp_axis_aligned
 
 
@@ -221,10 +220,61 @@ def _prewarm_coeffs(spec: ChannelSpec) -> None:
     _saver_cached(spec.out_format, spec.out_col_spec, spec.gamma_mode)
 
 
+def _monolithic_program(spec: ChannelSpec):
+    """Adapter putting the fully-fused Pallas v210 kernel behind the same
+    params-pytree calling convention as the XLA program, so the runtime
+    dispatch is a single make_channel_program call (no per-transition
+    branches outside this module)."""
+    from ..ops.pallas_kernels import make_fused_v210_program
+
+    ls = spec.layers[-1]
+    if ls.transition == "dissolve":
+        prog = make_fused_v210_program(
+            spec.width, spec.height, spec.col_spec, spec.out_col_spec,
+            n_layers=1, transition="dissolve",
+        )
+
+        def to_args(params):
+            top = params["layers"][-1]
+            return ([top["src"][0], top["src_b"][0]],), {"mix": top["mix"]}
+
+    else:
+        prog = make_fused_v210_program(
+            spec.width, spec.height, spec.col_spec, spec.out_col_spec
+        )
+
+        def to_args(params):
+            return ([params["layers"][-1]["src"][0]],), {}
+
+    def program(params):
+        args, kwargs = to_args(params)
+        return [prog(*args, **kwargs)]
+
+    def lower(params):
+        args, kwargs = to_args(params)
+        return prog.lower(*args, **kwargs)
+
+    # AOT hook so graph.warmup can prewarm this path like any jitted one
+    program.lower = lower
+    return program
+
+
 @lru_cache(maxsize=None)
 def make_channel_program(spec: ChannelSpec):
     """Compile (lazily, cached) the fused frame program for a channel
-    structure.  Returned callable: params pytree -> packed output planes."""
+    structure.  Returned callable: params pytree -> packed output planes.
+
+    The program cache owns fused-kernel selection: structures the
+    monolithic Pallas kernel covers (ops.pallas_kernels.supported_spec)
+    get the all-VMEM single-kernel path; everything else gets the jitted
+    XLA program (which itself uses Pallas stage kernels when
+    spec.pallas_stages)."""
+    if spec.pallas_stages:
+        from ..ops.pallas_kernels import supported_spec
+
+        if supported_spec(spec):
+            return _monolithic_program(spec)
+
     _prewarm_coeffs(spec)
 
     @jax.jit

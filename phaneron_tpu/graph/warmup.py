@@ -54,29 +54,10 @@ def dummy_params(spec: ChannelSpec) -> dict:
 
 
 def _compile(spec: ChannelSpec) -> None:
+    # make_channel_program owns fused-kernel selection, and every path
+    # it returns (XLA jit or monolithic Pallas adapter) exposes .lower
     program = make_channel_program(spec)
     program.lower(dummy_params(spec)).compile()
-    # also AOT-compile the monolithic fused kernel the channel dispatch
-    # prefers for this structure
-    from ..ops.formats import v210 as v210fmt
-    from ..ops.pallas_kernels import make_fused_v210_program, supported_spec
-
-    if supported_spec(spec) and jax.default_backend() != "cpu":
-        words = jax.ShapeDtypeStruct(
-            (spec.height, v210fmt.pitch_bytes(spec.width) // 4), jnp.uint32
-        )
-        ls = spec.layers[-1]
-        if ls.transition == "dissolve":
-            prog = make_fused_v210_program(
-                spec.width, spec.height, spec.col_spec, spec.out_col_spec,
-                n_layers=1, transition="dissolve",
-            )
-            prog.lower([words, words], mix=jax.ShapeDtypeStruct((), jnp.float32)).compile()
-        else:
-            prog = make_fused_v210_program(
-                spec.width, spec.height, spec.col_spec, spec.out_col_spec
-            )
-            prog.lower([words]).compile()
 
 
 async def prewarm(spec: ChannelSpec) -> None:

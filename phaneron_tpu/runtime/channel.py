@@ -307,31 +307,9 @@ class Channel:
         return contribs
 
     def _dispatch(self, spec: ChannelSpec, contribs):
-        """Run the frame program: the fused Pallas kernel when the
-        structure allows (TPU, v210 top layer, no RGBA consumers),
-        otherwise the general XLA path."""
+        """Run the frame program.  Fused-kernel selection lives inside
+        make_channel_program (the spec cache owns it) — this is one call."""
         contribs = self._pin(contribs)
-        if self.use_pallas and contribs:
-            from ..ops.pallas_kernels import make_fused_v210_program, supported_spec
-
-            if supported_spec(spec):
-                top = contribs[-1]
-                if top.spec.transition == "dissolve":
-                    prog = make_fused_v210_program(
-                        spec.width, spec.height, spec.col_spec, spec.out_col_spec,
-                        n_layers=1, transition="dissolve",
-                    )
-                    words = prog(
-                        [top.params["src"][0], top.params["src_b"][0]],
-                        mix=top.params["mix"],
-                    )
-                else:
-                    prog = make_fused_v210_program(
-                        spec.width, spec.height, spec.col_spec, spec.out_col_spec
-                    )
-                    words = prog([top.params["src"][0]])
-                return [words], None
-
         program = make_channel_program(spec)
         out = program({"layers": [c.params for c in contribs]})
         if isinstance(out, dict):

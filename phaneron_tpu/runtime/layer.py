@@ -21,7 +21,7 @@ from typing import Callable, Optional
 
 import numpy as np
 
-from ..audio.engine import Rechunker, adapt_channels, amix, silence
+from ..audio.engine import Rechunker, adapt_channels, crossfade, silence
 from ..config import VideoFormat
 from ..graph.pipeline import LayerSpec, make_unpack_program
 from ..runtime.frame import RGBA_F32, VideoFrame
@@ -362,16 +362,16 @@ class Layer:
                 params["matrix"] = jnp.asarray(mixer.matrix)
                 params["matrix_b"] = jnp.asarray(self.next.mixer.matrix)
 
-            warp_fits = False
+            warp_bucket = -1
             if has_tf:
-                from ..ops.pallas_warp import fits
+                from ..ops.pallas_warp import bucket_of
 
-                warp_fits = fits(mixer.matrix) and fits(self.next.mixer.matrix)
+                warp_bucket = bucket_of(mixer.matrix, self.next.mixer.matrix)
             spec_kwargs = dict(
                 transition=tr.type,
                 has_transform=has_tf,
                 axis_aligned=mixer.axis_aligned,
-                warp_fits=warp_fits,
+                warp_bucket=warp_bucket,
                 src_b_format=src_b_format,
             )
             if tr.type == "dissolve":
@@ -389,9 +389,11 @@ class Layer:
 
                     params["mix"] = jnp.float32(1.0)
 
-            audio = amix(
-                [await self.cur.audio_tick(), await self.next.audio_tick()],
-                normalize=True,
+            # equal-gain crossfade matching the video mix weights — not
+            # the reference's amix/2 (which ducks the whole transition
+            # 6 dB); a tone present on both sources stays at unity
+            audio = crossfade(
+                await self.cur.audio_tick(), await self.next.audio_tick(), mix
             )
 
             if k >= tr.length or self.cur.ended:
@@ -432,16 +434,16 @@ class Layer:
             import jax.numpy as jnp
 
             params["matrix"] = jnp.asarray(mixer.matrix)
-        warp_fits = False
+        warp_bucket = -1
         if has_tf:
-            from ..ops.pallas_warp import fits
+            from ..ops.pallas_warp import bucket_of
 
-            warp_fits = fits(mixer.matrix)
+            warp_bucket = bucket_of(mixer.matrix)
         spec = LayerSpec(
             **cur_fields,
             has_transform=has_tf,
             axis_aligned=mixer.axis_aligned,
-            warp_fits=warp_fits,
+            warp_bucket=warp_bucket,
         )
         audio = await self.cur.audio_tick()
         stamp = self.cur.last.loadstamp if self.cur.last else None

@@ -71,3 +71,16 @@ def test_interleave_s32():
     out = interleave_s32(x)
     assert out.shape == (4,)
     assert out[0] > 2**30 and out[2] < 0
+
+
+def test_crossfade_unity_and_constant_power():
+    from phaneron_tpu.audio.engine import crossfade
+
+    t = np.linspace(0, 1, 960, dtype=np.float32)
+    tone = np.stack([np.sin(2 * np.pi * 20 * t)] * 2).astype(np.float32)
+    for mix in (1.0, 0.75, 0.5, 0.25, 0.0):
+        out = crossfade(tone, tone, mix)
+        assert np.allclose(out, tone, atol=1e-6)  # coherent: unity gain
+    # constant-power: equal-power at the midpoint for uncorrelated inputs
+    out = crossfade(tone, np.zeros_like(tone), 0.5, constant_power=True)
+    assert np.allclose(out, tone * np.float32(0.5**0.5), atol=1e-6)

@@ -84,3 +84,32 @@ def test_interlaced_source_deinterlaces_on_channel():
         assert np.asarray(y).max() > 64  # deinterlaced bars flowing
 
     run(main())
+
+
+def test_interlaced_pack_broadcast_geometry_1080i():
+    """The 1080i5000 field-pair path at real broadcast geometry
+    (1920x1080, 48-px v210 pitch): line-exact vs two single-field packs
+    (macadamConsumer.ts:224-244, v210.ts:126-129), and bit-exact through
+    a pack -> unpack -> pack round-trip of the interlaced frame."""
+    from phaneron_tpu.graph.pipeline import make_unpack_program
+
+    w, h = 1920, 1080
+    v210 = get_format("v210")
+    # two distinct field-rate frames from the reference ramp, one shifted
+    unpack = make_unpack_program("v210", w, h, "709", "709")
+    src_words = jnp.asarray(v210.fill_buf(w, h)[0])
+    top = unpack([src_words])
+    bot = unpack([jnp.roll(src_words, 1, axis=0)])
+
+    pack_pair = make_interlaced_pack_program("v210", w, h, "709")
+    pack = make_pack_program("v210", w, h, "709")
+
+    merged = np.asarray(pack_pair(top, bot)[0])
+    top_packed = np.asarray(pack(top)[0])
+    bot_packed = np.asarray(pack(bot)[0])
+    assert np.array_equal(merged[0::2], top_packed[0::2])
+    assert np.array_equal(merged[1::2], bot_packed[1::2])
+
+    # interlaced round-trip stays bit-exact at broadcast geometry
+    rt = np.asarray(pack(unpack([jnp.asarray(merged)]))[0])
+    assert np.array_equal(rt, merged)

@@ -248,3 +248,71 @@ def test_nv12_raw_file_source(tmp_path):
         assert np.asarray(y).max() > 64  # nv12 ramp content flowed through
 
     run(main())
+
+
+def test_25fps_source_cadence_on_50hz_channel(tmp_path):
+    """A 25 fps file on a 50 Hz channel shows each source frame exactly
+    twice (the reference's frame-rate doubling, ffmpegProducer.ts:557-566;
+    SourceSlot._pull_ratio)."""
+
+    async def main():
+        import json
+
+        from phaneron_tpu.ops.formats.v210 import pack_codes
+
+        n_src = 4
+        frames = []
+        for i in range(n_src):
+            yv = np.full((64, 96), 100 + 100 * i, np.int32)
+            c = np.full((64, 96), 512, np.int32)
+            frames.append(np.asarray(pack_codes(yv, c, c, 96, 64)[0]))
+        clip = tmp_path / "clip.v210"
+        clip.write_bytes(b"".join(f.tobytes() for f in frames))
+        (tmp_path / "clip.v210.json").write_text(
+            json.dumps({"format": "v210", "width": 96, "height": 64, "fps": 25})
+        )
+
+        ch = Channel(1, TINY, make_registry())  # TINY is a 50 Hz channel
+        assert await ch.load_source(1, LoadParams(str(clip)))
+        ch.play(1)
+        from phaneron_tpu.ops.formats import get_format
+
+        seen = []
+        for _ in range(2 * n_src):
+            out = await ch.render_frame()
+            y, _, _ = get_format("v210").unpack_codes(
+                [np.asarray(out.packed[0])], 96, 64
+            )
+            seen.append(int(np.asarray(y)[0, 0]))
+        expected = [100 + 100 * (k // 2) for k in range(2 * n_src)]
+        assert seen == expected  # each source frame exactly twice, in order
+
+    run(main())
+
+
+def test_dissolve_audio_is_crossfade_not_duck():
+    """A tone present on both transition sources must hold level through
+    a dissolve (equal-gain crossfade), not drop 6 dB like the
+    reference's amix/2 (transitioner.ts:83-121)."""
+
+    async def main():
+        ch = Channel(1, TINY, make_registry())
+        assert await ch.load_source(1, LoadParams("BARS"))
+        ch.play(1)
+        ref = await ch.render_frame()
+        ref_rms = float(np.sqrt(np.mean(np.square(ref.audio))))
+        assert ref_rms > 0.05  # BARS carries a tone
+
+        assert await ch.load_source(
+            1, LoadParams("BARS"), transition=TransitionSpec("dissolve", 6)
+        )
+        ch.play(1)
+        for _ in range(6):
+            f = await ch.render_frame()
+            rms = float(np.sqrt(np.mean(np.square(f.audio))))
+            # BARS tone is frame-periodic (20 cycles / 960 samples), so
+            # cur and next are coherent: the crossfade must stay within
+            # 1 dB of the steady level throughout
+            assert abs(20 * np.log10(rms / ref_rms)) < 1.0
+
+    run(main())
