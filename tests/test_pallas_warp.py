@@ -1,6 +1,6 @@
-"""Pallas DVE warp kernel vs the gather formulation (interpret mode is
-f32-exact; compiled TPU runs single-pass bf16 MXU weights, ~4e-3 — the
-reference's OpenCL LINEAR sampler precision class)."""
+"""Pallas DVE warp kernel vs the gather formulation.  The row pass is
+f32-exact; the column pass runs hi/lo-split bf16 MXU passes carrying
+~2^-17 relative error — packed codes match the XLA path to <=1 code."""
 
 import jax.numpy as jnp
 import numpy as np
@@ -9,7 +9,7 @@ import pytest
 from phaneron_tpu.graph.pipeline import ChannelSpec, LayerSpec, make_channel_program
 from phaneron_tpu.ops.formats import get_format
 from phaneron_tpu.ops.geometry import transform_matrix, warp_axis_aligned
-from phaneron_tpu.ops.pallas_warp import fits, make_warp_program
+from phaneron_tpu.ops.pallas_warp import bucket_of, make_warp_program
 
 H, W = 64, 256
 
@@ -22,6 +22,7 @@ H, W = 64, 256
         dict(flip_h=True, scale_x=1.3),
         dict(flip_v=True),
         dict(anchor_x=0.3, scale_x=1.5, scale_y=0.7, offset_y=0.1),
+        dict(scale_x=0.26, scale_y=0.26),  # bucket 2 (|m| just under 4)
         dict(),
     ],
 )
@@ -29,29 +30,50 @@ def test_warp_matches_gather(kwargs):
     rng = np.random.default_rng(3)
     src = jnp.asarray(rng.random((4, H, W), dtype=np.float32))
     m = transform_matrix(W, H, **kwargs)
-    assert fits(m)
+    bucket = bucket_of(m)
+    assert bucket >= 0
     ref = np.asarray(warp_axis_aligned(src, jnp.asarray(m)))
-    out = np.asarray(make_warp_program(H, W, interpret=True)(src, jnp.asarray(m)))
-    assert np.abs(ref - out).max() <= 2e-5  # FMA formation ulps in fx/fy
+    out = np.asarray(make_warp_program(H, W, bucket, interpret=True)(src, jnp.asarray(m)))
+    # hi/lo bf16 split residual + FMA formation ulps in fx/fy
+    assert np.abs(ref - out).max() <= 5e-5
 
 
-def test_fits_bounds():
-    assert not fits(transform_matrix(W, H, rotate=0.1))  # rotation
-    assert not fits(transform_matrix(W, H, scale_y=0.1))  # |m11|=10 window
-    assert fits(transform_matrix(W, H, scale_y=0.25))  # |m11|=4 ok
+def test_every_bucket_geometry():
+    """Exhaustive per-bucket window coverage: extreme offsets push the
+    row/col windows against both borders."""
+    rng = np.random.default_rng(5)
+    src = jnp.asarray(rng.random((4, H, W), dtype=np.float32))
+    for scale, bucket in ((1.5, 0), (0.6, 1), (0.27, 2)):
+        for off in (-0.4, 0.0, 0.4):
+            m = transform_matrix(W, H, scale_x=scale, scale_y=scale, offset_x=off, offset_y=-off)
+            assert bucket_of(m) == bucket
+            ref = np.asarray(warp_axis_aligned(src, jnp.asarray(m)))
+            out = np.asarray(
+                make_warp_program(H, W, bucket, interpret=True)(src, jnp.asarray(m))
+            )
+            assert np.abs(ref - out).max() <= 5e-5, (scale, off)
 
 
-def test_channel_program_uses_warp_kernel(monkeypatch):
-    from phaneron_tpu.graph import pipeline
+def test_bucket_bounds():
+    assert bucket_of(transform_matrix(W, H, rotate=0.1)) == -1  # rotation
+    assert bucket_of(transform_matrix(W, H, scale_y=0.1)) == -1  # |m11|=10
+    assert bucket_of(transform_matrix(W, H, scale_y=0.25)) == 2  # |m11|=4
+    assert bucket_of(transform_matrix(W, H, scale_y=0.6)) == 1
+    assert bucket_of(transform_matrix(W, H)) == 0
+    # joint bucket over transition matrices takes the widest span
+    assert bucket_of(transform_matrix(W, H), transform_matrix(W, H, scale_y=0.5)) == 1
 
-    monkeypatch.setattr(pipeline, "ENABLE_PALLAS_WARP", True)
+
+def test_channel_program_uses_warp_kernel():
     w, h = 128, 32
     v210 = get_format("v210")
     src = np.asarray(v210.fill_buf(w, h)[0])
     m = transform_matrix(w, h, scale_x=0.8, scale_y=0.8)
-    layer = LayerSpec("v210", has_transform=True, axis_aligned=True, warp_fits=True)
+    layer = LayerSpec(
+        "v210", has_transform=True, axis_aligned=True, warp_bucket=bucket_of(m)
+    )
     spec = ChannelSpec(w, h, "v210", layers=(layer,), pallas_stages=True)
-    base = spec._replace(pallas_stages=False, layers=(layer._replace(warp_fits=False),))
+    base = spec._replace(pallas_stages=False, layers=(layer._replace(warp_bucket=-1),))
     a = np.asarray(
         make_channel_program(spec)({"layers": [{"src": [src], "matrix": jnp.asarray(m)}]})[0]
     )
