@@ -6,20 +6,34 @@ channel's packed planes verbatim (v210/yuv422p8/... — playable by any
 raw-video tool and bit-comparable in tests) plus a standard WAV for the
 mixed audio.  A sidecar JSON records geometry for the raw-file producer
 to play back.
+
+Egress mirrors the reference's unload-queue overlap (io.ts:166-174,
+SURVEY.md §7.1): deliver() only enqueues the (device-resident) frame;
+a fetch thread pulls device->host into the native SPSC staging ring
+(utils.hostio.StagingRing) while a writer thread drains ring->disk —
+the channel's frame loop never blocks on a device fetch or a write.
+A bounded queue gives honest backpressure: if the disk genuinely can't
+keep pace, frames go late at the channel clock instead of silently
+stalling the event loop.
 """
 
 from __future__ import annotations
 
 import asyncio
 import json
+import queue
+import threading
 import wave
 from pathlib import Path
 
 import numpy as np
 
+from ..utils.hostio import StagingRing
 from .consumer import ChannelFrame, Consumer
 
 __all__ = ["FileConsumer"]
+
+_STOP = object()
 
 
 class FileConsumer(Consumer):
@@ -29,11 +43,20 @@ class FileConsumer(Consumer):
         self.path = Path(self.params.get("path", "channel_out.raw"))
         self.audio_path = self.params.get("audio_path")
         self.max_frames = self.params.get("max_frames")
+        # queue-full policy: 'block' (archival: backpressure the channel,
+        # honest lateness) or 'drop' (real-time: never stall the chain,
+        # count the skipped frames — broadcast recording semantics)
+        self.on_full = self.params.get("on_full", "block")
+        self.dropped = 0
         self._fh = None
         self._wav = None
         self._frames = 0
-        self._lock = asyncio.Lock()
         self._pending_field = None  # top-field rgba awaiting its pair
+        self._q: queue.Queue = queue.Queue(maxsize=4)
+        self._ring: StagingRing | None = None
+        self._audio_q: queue.Queue = queue.Queue()
+        self._threads: list[threading.Thread] = []
+        self._stop = threading.Event()
 
     async def initialise(self, fmt) -> None:
         await super().initialise(fmt)
@@ -62,37 +85,109 @@ class FileConsumer(Consumer):
             self._wav.setsampwidth(2)
             self._wav.setframerate(fmt.audio_sample_rate)
 
+        from ..ops.formats import get_format
+
+        frame_bytes = sum(get_format(self.pix_format).num_bytes(fmt.width, fmt.height))
+        self._ring = StagingRing(frame_bytes, slots=4)
+        self._threads = [
+            threading.Thread(target=self._fetch_loop, name="file-fetch", daemon=True),
+            threading.Thread(target=self._write_loop, name="file-write", daemon=True),
+        ]
+        for t in self._threads:
+            t.start()
+
+    # ------------------------------------------------------ frame loop side
+
     async def deliver(self, frame: ChannelFrame) -> None:
         if self._fh is None or (self.max_frames and self._frames >= self.max_frames):
             return
         planes = frame.packed
         if self.interlaced and frame.rgba is not None:
             # two field-rate frames -> one interlaced frame
-            # (macadamConsumer.ts:224-244 two-pass field packing)
+            # (macadamConsumer.ts:224-244 two-pass field packing); the
+            # pack is a device dispatch — no host copy here
             if self._pending_field is None:
                 self._pending_field = frame.rgba
-                self._write_audio(frame)
+                self._audio_q.put(self._audio_pcm(frame))
                 return
             planes = self._pack_pair(self._pending_field, frame.rgba)
             self._pending_field = None
-        async with self._lock:
-            # device -> host copy happens here, off the render loop's
-            # critical path only insofar as dispatch is async; a real
-            # deployment would double-buffer (SURVEY.md §7.1)
-            for p in planes:
-                self._fh.write(np.asarray(p).tobytes())
-            self._write_audio(frame)
+        item = (planes, self._frames)
+        try:
+            self._q.put_nowait(item)
+        except queue.Full:
+            if self.on_full == "drop":
+                self.dropped += 1
+                return
+            # bounded backpressure off the event loop: the channel goes
+            # late honestly instead of the loop blocking on a fetch
+            await asyncio.to_thread(self._q.put, item)
+        self._audio_q.put(self._audio_pcm(frame))
         self._frames += 1
 
-    def _write_audio(self, frame: ChannelFrame) -> None:
-        if self._wav is not None:
-            pcm = np.clip(frame.audio.T, -1.0, 1.0 - 2**-15)
-            self._wav.writeframes((pcm * 32767).astype("<i2").tobytes())
+    def _audio_pcm(self, frame: ChannelFrame) -> bytes | None:
+        if self._wav is None:
+            return None
+        pcm = np.clip(frame.audio.T, -1.0, 1.0 - 2**-15)
+        return (pcm * 32767).astype("<i2").tobytes()
+
+    # --------------------------------------------------------- worker side
+
+    def _fetch_loop(self) -> None:
+        """Device -> host into the staging ring (the 'unload queue')."""
+        while True:
+            item = self._q.get()
+            if item is _STOP:
+                return
+            planes, _ = item
+            data = b"".join(np.asarray(p).tobytes() for p in planes)
+            while not self._ring.try_write(data):
+                if self._stop.is_set():
+                    return
+                self._stop.wait(0.001)
+
+    def _write_loop(self) -> None:
+        """Staging ring -> disk (+ WAV audio, kept in frame order)."""
+        while True:
+            buf = self._ring.try_read() if self._ring else None
+            if buf is None:
+                if self._stop.is_set() and self._q.empty():
+                    return
+                self._stop.wait(0.001)
+                continue
+            self._fh.write(buf.tobytes() if isinstance(buf, np.ndarray) else buf)
+            self._drain_audio()
+
+    def _drain_audio(self) -> None:
+        # audio arrives per delivered frame (per FIELD when interlaced —
+        # both fields' audio belongs in the WAV), independent of video
+        # ring pacing; drain everything queued, order preserved
+        while True:
+            try:
+                pcm = self._audio_q.get_nowait()
+            except queue.Empty:
+                return
+            if pcm and self._wav is not None:
+                self._wav.writeframes(pcm)
 
     def release(self) -> None:
-        if self._fh:
-            self._fh.close()
-            self._fh = None
+        if self._fh is None:
+            return
+        # drain: stop accepting, let the fetch thread finish the queue,
+        # then the writer sees stop+empty and exits after the ring drains
+        self._q.put(_STOP)
+        if self._threads:
+            self._threads[0].join(timeout=30)
+        self._stop.set()
+        if len(self._threads) > 1:
+            self._threads[1].join(timeout=30)
+        self._threads = []
+        self._drain_audio()
+        if self._ring is not None:
+            self._ring.close()
+            self._ring = None
+        self._fh.close()
+        self._fh = None
         if self._wav:
             self._wav.close()
             self._wav = None

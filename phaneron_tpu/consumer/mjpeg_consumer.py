@@ -32,7 +32,9 @@ class MJPEGConsumer(Consumer):
         self.quality = int(self.params.get("quality", 85))
         self._clients: list[asyncio.StreamWriter] = []
         self._server: Optional[asyncio.AbstractServer] = None
-        self._busy = False
+        self._latest: Optional[ChannelFrame] = None
+        self._task: Optional[asyncio.Task] = None
+        self.dropped = 0
 
     async def initialise(self, fmt) -> None:
         await super().initialise(fmt)
@@ -55,20 +57,35 @@ class MJPEGConsumer(Consumer):
             writer.close()
 
     async def deliver(self, frame: ChannelFrame) -> None:
-        if frame.rgba is None or not self._clients or self._busy:
+        """Latest-wins: enqueue and return — the blocking device fetch
+        and JPEG encode run off the event loop in the drain task (the
+        frame loop never stalls on a consumer, SURVEY.md §7.1)."""
+        if frame.rgba is None or not self._clients:
             return
-        self._busy = True
+        if self._latest is not None:
+            self.dropped += 1  # encoder slower than channel rate
+        self._latest = frame
+        if self._task is None or self._task.done():
+            self._task = asyncio.create_task(self._drain())
+
+    def _encode(self, planes) -> Optional[bytes]:
         try:
-            try:
-                from PIL import Image
-            except ImportError:
+            from PIL import Image
+        except ImportError:
+            return None
+        rgba = np.asarray(planes[0])  # device -> host (worker thread)
+        img = Image.fromarray(rgba[:, :, :3], "RGB")
+        buf = io.BytesIO()
+        img.save(buf, "JPEG", quality=self.quality)
+        return buf.getvalue()
+
+    async def _drain(self) -> None:
+        while self._latest is not None:
+            frame, self._latest = self._latest, None
+            planes = self._pack(frame.rgba)  # device dispatch only
+            jpeg = await asyncio.to_thread(self._encode, planes)
+            if jpeg is None:
                 return
-            planes = self._pack(frame.rgba)
-            rgba = np.asarray(planes[0])
-            img = Image.fromarray(rgba[:, :, :3], "RGB")
-            buf = io.BytesIO()
-            img.save(buf, "JPEG", quality=self.quality)
-            jpeg = buf.getvalue()
             part = (
                 b"--" + BOUNDARY + b"\r\n"
                 b"Content-Type: image/jpeg\r\n"
@@ -86,8 +103,6 @@ class MJPEGConsumer(Consumer):
             for w in dead:
                 self._clients.remove(w)
                 w.close()
-        finally:
-            self._busy = False
 
     def release(self) -> None:
         for w in self._clients:

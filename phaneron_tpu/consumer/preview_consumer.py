@@ -28,7 +28,8 @@ class PreviewConsumer(Consumer):
         self._last: Optional[bytes] = None
         self._last_audio: Optional[bytes] = None
         self._server: Optional[asyncio.AbstractServer] = None
-        self._busy = False
+        self._latest: Optional[ChannelFrame] = None
+        self._task: Optional[asyncio.Task] = None
 
     async def initialise(self, fmt) -> None:
         await super().initialise(fmt)
@@ -37,15 +38,20 @@ class PreviewConsumer(Consumer):
         self._server = await asyncio.start_server(self._handle, "0.0.0.0", self.port)
 
     async def deliver(self, frame: ChannelFrame) -> None:
-        if frame.rgba is None or self._busy:
-            return  # latest-wins: drop when still converting the previous
-        self._busy = True
-        try:
-            planes = self._pack(frame.rgba)
-            self._last = np.asarray(planes[0]).tobytes()
+        if frame.rgba is None:
+            return
+        self._latest = frame  # latest-wins; fetch happens off the loop
+        if self._task is None or self._task.done():
+            self._task = asyncio.create_task(self._drain())
+
+    async def _drain(self) -> None:
+        while self._latest is not None:
+            frame, self._latest = self._latest, None
+            planes = self._pack(frame.rgba)  # device dispatch only
+            self._last = await asyncio.to_thread(
+                lambda p: np.asarray(p).tobytes(), planes[0]
+            )
             self._last_audio = frame.audio.tobytes()
-        finally:
-            self._busy = False
 
     async def _handle(self, reader, writer):
         try:

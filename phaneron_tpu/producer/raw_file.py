@@ -19,6 +19,7 @@ silence.
 
 from __future__ import annotations
 
+import asyncio
 import json
 import os
 from pathlib import Path
@@ -72,6 +73,16 @@ class RawFileProducer(Producer):
         self.params = params
         self.loop = params.loop
         self.interlaced = bool(self.meta.get("interlaced", False))
+        if "fps" in self.meta:
+            # source frame rate differs from the channel: the layer's
+            # pull cadence repeats frames (25 fps on a 50 Hz channel
+            # shows each frame twice, ffmpegProducer.ts:557-566)
+            from dataclasses import replace
+
+            src_fps = float(self.meta["fps"])
+            self.fmt = replace(
+                self.fmt, fields=1, timescale=int(round(src_fps * 1000)), duration=1000
+            )
         self._mm: np.memmap | None = None
         self._pending_seek: int | None = None
 
@@ -94,46 +105,76 @@ class RawFileProducer(Producer):
         self._mm = np.memmap(self.path, dtype=np.uint8, mode="r")
         self._fmt_mod = fmt_mod
 
-    def _frame_planes(self, index: int):
+    def _load_frame(self, index: int):
+        """Read + convert + upload one frame (runs on the loader thread:
+        the host read and the host->HBM DMA of frame N+1 overlap the
+        channel compositing frame N — the reference's load-queue
+        overlap, io.ts:88-94, SURVEY.md §7.1)."""
+        import time
+
         import jax
 
+        stamp = time.monotonic()
         off = index * self.frame_bytes
         raw = bytes(self._mm[off : off + self.frame_bytes])
         planes = self._fmt_mod.from_bytes(raw, self.width, self.height)
-        return [jax.device_put(p) for p in planes]
+        return [jax.device_put(p) for p in planes], stamp
 
     def video_stream(self) -> Stream:
         seek = self.params.seek
         length = self.params.length
 
         async def gen():
+            from concurrent.futures import ThreadPoolExecutor
+
+            loop_ = asyncio.get_running_loop()
+            pool = ThreadPoolExecutor(1, thread_name_prefix="rawfile-load")
             ts = 0
             idx = seek % self.num_frames if self.num_frames else 0
             remaining = length if length is not None else None
-            while not self.released:
-                if self._pending_seek is not None:  # CALL SEEK (runtime)
-                    idx = self._pending_seek % self.num_frames
-                    self._pending_seek = None
-                if remaining is not None and remaining <= 0:
-                    break
-                if idx >= self.num_frames:
-                    if self.loop:
-                        idx = seek % self.num_frames  # loop wrap re-seek
-                    else:
+            fut = None
+            fut_idx = -1
+            try:
+                while not self.released:
+                    if self._pending_seek is not None:  # CALL SEEK (runtime)
+                        idx = self._pending_seek % self.num_frames
+                        self._pending_seek = None
+                    if remaining is not None and remaining <= 0:
                         break
-                yield VideoFrame(
-                    timestamp=ts,
-                    format=self.pix_format,
-                    payload=self._frame_planes(idx),
-                    width=self.width,
-                    height=self.height,
-                    interlaced=self.interlaced,
-                )
-                ts += 1
-                idx += 1
-                if remaining is not None:
-                    remaining -= 1
-            yield END
+                    if idx >= self.num_frames:
+                        if self.loop:
+                            idx = seek % self.num_frames  # loop wrap re-seek
+                        else:
+                            break
+                    if fut is None or fut_idx != idx:  # miss (start/seek)
+                        fut = loop_.run_in_executor(pool, self._load_frame, idx)
+                        fut_idx = idx
+                    planes, stamp = await fut
+                    # prefetch the successor while this frame composites
+                    nxt = idx + 1
+                    if nxt >= self.num_frames and self.loop:
+                        nxt = seek % self.num_frames
+                    if nxt < self.num_frames and (remaining is None or remaining > 1):
+                        fut = loop_.run_in_executor(pool, self._load_frame, nxt)
+                        fut_idx = nxt
+                    else:
+                        fut = None
+                    yield VideoFrame(
+                        timestamp=ts,
+                        format=self.pix_format,
+                        payload=planes,
+                        width=self.width,
+                        height=self.height,
+                        interlaced=self.interlaced,
+                        loadstamp=stamp,
+                    )
+                    ts += 1
+                    idx += 1
+                    if remaining is not None:
+                        remaining -= 1
+                yield END
+            finally:
+                pool.shutdown(wait=False)
 
         return from_generator(gen)
 

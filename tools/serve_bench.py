@@ -1,46 +1,113 @@
 """Serve the reference's default load (4 x 1080p50 channels) clock-paced
-for 12 s on the current device and report pacing stats.  Measured on one
-TPU v5e chip: 600/600 frames per channel, 0 late, render p99 < 1.05 ms.
+and report pacing + end-to-end latency stats, in three configurations:
 
-Run from the repo root: python tools/serve_bench.py
+1. device sink           — output stays in HBM (SDI/DMA egress on a real
+                           host is PCIe-fast; this tunnel's host link is
+                           the artificial bottleneck)
+2. file consumers @1080p — real FileConsumers attached in real-time
+                           ('drop') mode: the fetch thread drains the
+                           ~30 MB/s tunnel while the frame loop stays
+                           paced; drops are reported honestly
+3. file consumers, small — a geometry the tunnel CAN sustain end-to-end
+                           (4 x 288x160p50 v210 = ~25 MB/s): full
+                           ingest->composite->pack->host->disk with no
+                           drops, proving the threaded egress path
+
+Run from the repo root: python tools/serve_bench.py [seconds]
 """
 import asyncio
 import sys
+import tempfile
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).parents[1]))
-from phaneron_tpu.config import get_video_format
+from phaneron_tpu.config import VIDEO_FORMATS, VideoFormat, get_video_format
 from phaneron_tpu.consumer.consumer import Consumer
+from phaneron_tpu.consumer.file_consumer import FileConsumer
 from phaneron_tpu.producer.producer import LoadParams, ProducerRegistry
 from phaneron_tpu.producer.test_pattern import create_test_pattern_producer
 from phaneron_tpu.runtime.channel import Channel
 
-class DeviceSink(Consumer):
-    """Keeps frames on-device (SDI/file readback is PCIe-fast on real
-    hosts; this tunnel's host link is the artificial bottleneck)."""
-    def __init__(self): super().__init__(); self.count = 0; self.last=None
-    async def deliver(self, frame):
-        self.count += 1; self.last = frame.packed[0]
+VIDEO_FORMATS.setdefault(
+    "tiny28850", VideoFormat("tiny28850", 1, 288, 160, 288, 50, 1, 48000, 2)
+)
 
-async def main():
-    fmt = get_video_format("1080p5000")
+
+class DeviceSink(Consumer):
+    def __init__(self):
+        super().__init__()
+        self.count = 0
+        self.last = None
+
+    async def deliver(self, frame):
+        self.count += 1
+        self.last = frame.packed[0]
+
+
+async def run_config(name, fmt_name, make_consumer, seconds):
+    fmt = get_video_format(fmt_name)
     reg = ProducerRegistry([create_test_pattern_producer])
-    channels = []
+    channels, consumers = [], []
     for i in range(1, 5):
         ch = Channel(i, fmt, reg)
-        await ch.add_consumer(DeviceSink())
+        cons = make_consumer(i)
+        consumers.append(cons)
+        await ch.add_consumer(cons)
         assert await ch.load_source(1, LoadParams("BARS"))
         ch.play(1)
         channels.append(ch)
     for ch in channels:
-        await ch.render_frame()
+        await ch.render_frame()  # compile before the pacing window
     for ch in channels:
-        ch.clock.reset(); ch.timestamp = 0; ch.frame_times.clear(); ch.start()
-    await asyncio.sleep(12)
-    for ch in channels:
+        ch.clock.reset()
+        ch.timestamp = 0
+        ch.frame_times.clear()
+        ch.start()
+    await asyncio.sleep(seconds)
+    print(f"--- {name}")
+    total_late = 0
+    for ch, cons in zip(channels, consumers):
         s = ch.stats()
-        print(f"ch{s['channel']}: frames={s['frames']} late={s['late_frames']} "
-              f"render_p50={s['render_p50_ms']:.2f}ms p99={s['render_p99_ms']:.2f}ms")
+        total_late += s["late_frames"]
+        extra = ""
+        if isinstance(cons, FileConsumer):
+            extra = f" delivered={cons._frames} dropped={cons.dropped}"
+        if "e2e_p99_ms" in s:
+            extra += f" e2e_p99={s['e2e_p99_ms']:.2f}ms"
+        print(
+            f"ch{s['channel']}: frames={s['frames']} late={s['late_frames']} "
+            f"render_p50={s['render_p50_ms']:.2f}ms p99={s['render_p99_ms']:.2f}ms{extra}"
+        )
     for ch in channels:
         await ch.shutdown()
+    for cons in consumers:
+        cons.release()
+    return total_late
+
+
+async def main():
+    seconds = float(sys.argv[1]) if len(sys.argv) > 1 else 12.0
+    tmp = Path(tempfile.mkdtemp(prefix="phaneron_bench_"))
+    late0 = await run_config(
+        "device sink, 4 x 1080p50", "1080p5000", lambda i: DeviceSink(), seconds
+    )
+    late1 = await run_config(
+        "file consumers (drop mode), 4 x 1080p50",
+        "1080p5000",
+        lambda i: FileConsumer(
+            {"path": str(tmp / f"hd_{i}.v210"), "on_full": "drop"}
+        ),
+        seconds,
+    )
+    late2 = await run_config(
+        "file consumers (block mode), 4 x 288x160p50",
+        "tiny28850",
+        lambda i: FileConsumer({"path": str(tmp / f"sm_{i}.v210")}),
+        seconds,
+    )
+    assert late0 == 0, "device-sink config must never go late"
+    assert late1 == 0, "file consumers must never stall the frame loop"
+    print(f"total late: {late0 + late1 + late2} (outputs in {tmp})")
+
+
 asyncio.run(main())
