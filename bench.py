@@ -1,8 +1,11 @@
 """Benchmark: fused unpack->composite->pack channel programs on the
 default device (the real TPU chip under the driver).
 
-Prints ONE JSON line: the UHD v210 round-trip — the BASELINE.json
-north-star metric (>=50 fps per UHD channel per chip).
+Prints ONE JSON line.  The headline metric is the UHD 4-layer
+DVE+dissolve composite — the shape of load the product actually serves
+(combine.ts:24-68, transform.ts:26-59, transition.ts:60-74) — against
+the >=50 fps north star.  The single-layer opaque passthrough numbers
+are reported in extra, labelled as passthrough.
 
 Methodology: this environment reaches the TPU through a network tunnel
 whose ~30 ms RTT dwarfs device time, and async dispatch makes naive
@@ -66,78 +69,148 @@ def chain_ms(step, x0, n_small=8, n_large=64, floor_bytes=0):
     return max(dev, 1e-6), t_small / n_small
 
 
-def main():
+def composite_step(w, h, pallas: bool, interpret: bool):
+    """The real serving shape: 4 layers, each with an axis-aligned DVE
+    warp and a dissolve between two v210 sources, over-composited and
+    packed back to v210."""
     from phaneron_tpu.graph.pipeline import ChannelSpec, LayerSpec, make_channel_program
-    from phaneron_tpu.ops.formats import get_format
     from phaneron_tpu.ops.geometry import transform_matrix
+    from phaneron_tpu.ops.pallas_warp import bucket_of
+
+    m = transform_matrix(w, h, scale_x=0.9, scale_y=0.9, offset_x=0.02)
+    mj = jax.device_put(jnp.asarray(m))
+    layer = LayerSpec(
+        "v210", transition="dissolve", has_transform=True, axis_aligned=True,
+        src_b_format="v210", warp_bucket=bucket_of(m) if pallas else -1,
+    )
+    spec = ChannelSpec(w, h, "v210", layers=(layer,) * 4, pallas_stages=pallas)
+    prog = make_channel_program(spec)
+
+    def step(x):
+        lp = {"src": [x], "src_b": [x], "matrix": mj, "mix": jnp.float32(0.5)}
+        return prog({"layers": [dict(lp) for _ in range(4)]})[0]
+
+    return step
+
+
+def main():
+    from phaneron_tpu.graph.pipeline import make_channel_program, ChannelSpec, LayerSpec
+    from phaneron_tpu.ops.formats import get_format
+    from phaneron_tpu.ops.geometry import transform_matrix, warp_axis_aligned
     from phaneron_tpu.ops.pallas_kernels import make_fused_v210_program
+    from phaneron_tpu.ops.pallas_warp import bucket_of, make_warp_program
 
     dev = jax.devices()[0]
     log(f"device: {dev} ({dev.platform})")
     interpret = jax.default_backend() == "cpu"
 
-    w, h = 3840, 2160
     v210 = get_format("v210")
-    uhd_src = jax.device_put(np.asarray(v210.fill_buf(w, h)[0]))
+    uhd_src = jax.device_put(np.asarray(v210.fill_buf(3840, 2160)[0]))
+    hd_src = jax.device_put(np.asarray(v210.fill_buf(1920, 1080)[0]))
 
-    # 1. UHD v210 roundtrip through the shipped fused Pallas kernel
-    fused = make_fused_v210_program(w, h, interpret=interpret)
+    # 1. HEADLINE: UHD 4-layer DVE+dissolve composite (8 unpacks, 8
+    # Pallas warps, dissolves, over-composite, v210 pack)
+    step = composite_step(3840, 2160, pallas=not interpret, interpret=interpret)
     t0 = time.perf_counter()
-    jax.block_until_ready(fused([uhd_src]))
-    log(f"UHD fused compile+first-run: {time.perf_counter()-t0:.1f}s")
-    uhd_bytes = 2 * uhd_src.nbytes + 4 * uhd_src.nbytes  # words io + plane transposes
+    jax.block_until_ready(step(uhd_src))
+    log(f"UHD 4-layer compile+first-run: {time.perf_counter()-t0:.1f}s")
+    uhd4_ms, _ = chain_ms(step, uhd_src, n_small=4, n_large=24)
+    uhd4_fps = 1000.0 / uhd4_ms
+    log(f"UHD 4-layer DVE+dissolve: {uhd4_ms:.3f} ms/frame -> {uhd4_fps:.0f} fps")
+
+    # 1b. same composite on the pure-XLA path (gather warps)
+    xla_step = composite_step(3840, 2160, pallas=False, interpret=interpret)
+    uhd4x_ms, _ = chain_ms(xla_step, uhd_src, n_small=2, n_large=10)
+    log(f"UHD 4-layer (XLA path): {uhd4x_ms:.3f} ms/frame -> {1000/uhd4x_ms:.0f} fps")
+
+    # 1c. HD 4-layer composite (BASELINE config 3)
+    hd_step = composite_step(1920, 1080, pallas=not interpret, interpret=interpret)
+    hd4_ms, _ = chain_ms(hd_step, hd_src, n_small=8, n_large=48)
+    log(f"HD 4-layer DVE+dissolve: {hd4_ms:.3f} ms/frame -> {1000/hd4_ms:.0f} fps")
+
+    # 2. Pallas warp vs XLA gather warp (VERDICT r1 item 2: >=2x both)
+    warp_ratio = {}
+    for (w, h, src_geo) in ((1920, 1080, None), (3840, 2160, None)):
+        rng = np.random.default_rng(0)
+        rgba = jax.device_put(rng.random((4, h, w), dtype=np.float32))
+        m = transform_matrix(w, h, scale_x=0.9, scale_y=0.9, offset_x=0.01)
+        mj = jax.device_put(jnp.asarray(m))
+        wp = make_warp_program(h, w, bucket_of(m), interpret=interpret)
+        p_ms, _ = chain_ms(lambda x: wp(x, mj), rgba, floor_bytes=2 * rgba.nbytes)
+        g = jax.jit(warp_axis_aligned)
+        g_ms, _ = chain_ms(lambda x: g(x, mj), rgba, floor_bytes=2 * rgba.nbytes)
+        warp_ratio[f"{h}p"] = round(g_ms / p_ms, 2)
+        log(f"warp {w}x{h}: pallas {p_ms:.3f} ms vs gather {g_ms:.3f} ms "
+            f"-> {g_ms/p_ms:.2f}x")
+
+    # 3. single-layer opaque v210 PASSTHROUGH (the trivial case, labelled)
+    fused = make_fused_v210_program(3840, 2160, interpret=interpret)
+    uhd_bytes = 2 * uhd_src.nbytes + 4 * uhd_src.nbytes
     uhd_ms, _ = chain_ms(lambda x: fused([x]), uhd_src, floor_bytes=uhd_bytes)
-    uhd_fps = 1000.0 / uhd_ms
-    log(f"UHD v210 roundtrip (fused Pallas): {uhd_ms:.3f} ms/frame -> {uhd_fps:.0f} fps")
-
-    # 2. same path on pure XLA (the general fallback)
-    xla_prog = make_channel_program(ChannelSpec(w, h, "v210", layers=(LayerSpec("v210"),)))
-    xla_ms, _ = chain_ms(lambda x: xla_prog({"layers": [{"src": [x]}]})[0], uhd_src)
-    log(f"UHD v210 roundtrip (XLA path): {xla_ms:.3f} ms/frame -> {1000/xla_ms:.0f} fps")
-
-    # 2b. 1080p fused path -> channels-per-chip capacity at 50 fps
+    log(f"UHD passthrough (fused, single opaque layer): {uhd_ms:.3f} ms -> "
+        f"{1000/uhd_ms:.0f} fps")
     hd_fused = make_fused_v210_program(1920, 1080, interpret=interpret)
-    hd_src1 = jax.device_put(np.asarray(v210.fill_buf(1920, 1080)[0]))
-    hd_bytes = 6 * hd_src1.nbytes
-    hdf_ms, _ = chain_ms(lambda x: hd_fused([x]), hd_src1, n_small=32, n_large=256, floor_bytes=hd_bytes)
-    capacity = int(20.0 / hdf_ms)  # 20 ms frame budget at 50 fps
-    log(
-        f"1080p v210 roundtrip (fused): {hdf_ms:.3f} ms/frame -> {1000/hdf_ms:.0f} fps "
-        f"(~{capacity} x 1080p50 channels/chip; reference default load is 4)"
+    hd_bytes = 6 * hd_src.nbytes
+    hdf_ms, _ = chain_ms(
+        lambda x: hd_fused([x]), hd_src, n_small=32, n_large=256, floor_bytes=hd_bytes
     )
 
-    # 3. 1080p 4-layer dissolve + DVE composite (BASELINE config 3)
-    hw, hh = 1920, 1080
-    layer = LayerSpec("v210", transition="dissolve", has_transform=True,
-                      axis_aligned=True, src_b_format="v210")
-    hd_spec = ChannelSpec(
-        hw, hh, "v210", layers=(layer,) * 4, pallas_stages=not interpret
-    )
-    hd_prog = make_channel_program(hd_spec)
-    hd_src = jax.device_put(np.asarray(v210.fill_buf(hw, hh)[0]))
-    mat = jax.device_put(jnp.asarray(
-        transform_matrix(hw, hh, scale_x=0.9, scale_y=0.9, offset_x=0.02)))
+    # 4. end-to-end p99 latency, ingest -> delivered, on a live channel
+    # (loadstamp plumbing; device-resident delivery — the tunnel's
+    # ~30 MB/s host link is not the production egress path)
+    e2e_p99 = None
+    try:
+        import asyncio
 
-    def hd_step(x):
-        lp = {"src": [x], "src_b": [x], "matrix": mat, "mix": jnp.float32(0.5)}
-        return hd_prog({"layers": [dict(lp) for _ in range(4)]})[0]
+        from phaneron_tpu.config import VIDEO_FORMATS, VideoFormat
+        from phaneron_tpu.consumer.consumer import Consumer
+        from phaneron_tpu.producer.producer import LoadParams, ProducerRegistry
+        from phaneron_tpu.producer.test_pattern import create_test_pattern_producer
+        from phaneron_tpu.runtime.channel import Channel
 
-    hd_ms, _ = chain_ms(hd_step, hd_src, n_small=4, n_large=24)
-    log(f"1080p 4-layer dissolve+DVE composite: {hd_ms:.3f} ms/frame -> {1000/hd_ms:.0f} fps")
+        class Sink(Consumer):
+            async def deliver(self, frame):
+                if frame.packed:
+                    jax.block_until_ready(frame.packed[0])
+
+        async def run_live():
+            fmt = VIDEO_FORMATS["1080p5000"]
+            ch = Channel(1, fmt, ProducerRegistry([create_test_pattern_producer]))
+            await ch.add_consumer(Sink())
+            assert await ch.load_source(1, LoadParams("BARS"))
+            ch.play(1)
+            await ch.render_frame()
+            ch.clock.reset()
+            ch.timestamp = 0
+            ch.start()
+            await asyncio.sleep(6)
+            s = ch.stats()
+            await ch.shutdown()
+            return s
+
+        stats = asyncio.run(run_live())
+        e2e_p99 = stats.get("e2e_p99_ms")
+        log(f"live 1080p50 channel: late={stats['late_frames']} "
+            f"render_p99={stats['render_p99_ms']:.2f}ms e2e_p99={e2e_p99}")
+    except Exception as err:
+        log(f"live e2e measurement skipped: {err}")
 
     print(
         json.dumps(
             {
-                "metric": "uhd_v210_unpack_composite_pack_fps_per_chip",
-                "value": round(uhd_fps, 1),
+                "metric": "uhd_4layer_dve_dissolve_fps_per_chip",
+                "value": round(uhd4_fps, 1),
                 "unit": "fps",
-                "vs_baseline": round(uhd_fps / 50.0, 2),
+                "vs_baseline": round(uhd4_fps / 50.0, 2),
                 "extra": {
-                    "uhd_ms_per_frame": round(uhd_ms, 3),
-                    "uhd_xla_fps": round(1000 / xla_ms, 1),
-                    "hd_fused_fps": round(1000 / hdf_ms, 1),
-                    "hd1080p50_channels_per_chip": capacity,
-                    "hd_4layer_fps": round(1000 / hd_ms, 1),
+                    "uhd_4layer_ms": round(uhd4_ms, 3),
+                    "uhd_4layer_xla_fps": round(1000 / uhd4x_ms, 1),
+                    "hd_4layer_fps": round(1000 / hd4_ms, 1),
+                    "warp_speedup_vs_gather": warp_ratio,
+                    "uhd_passthrough_fps": round(1000 / uhd_ms, 1),
+                    "hd_passthrough_fps": round(1000 / hdf_ms, 1),
+                    "hd1080p50_passthrough_channels_per_chip": int(20.0 / hdf_ms),
+                    "e2e_p99_ms": e2e_p99,
                     "device": str(dev),
                 },
             }

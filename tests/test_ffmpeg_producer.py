@@ -1,0 +1,152 @@
+"""FFmpeg pipe producer driven by stub ffmpeg/ffprobe binaries: probing,
+format dispatch, non-multiple-of-8 widths (host pitch padding), source
+geometry stretch-fit, 25->50 cadence, and the audio branch with the
+multi-mono amerge graph (ffmpegProducer.ts:181-246, 393-466)."""
+
+import json
+import os
+import stat
+import sys
+
+import numpy as np
+import pytest
+
+from phaneron_tpu.config import VideoFormat
+from phaneron_tpu.producer.producer import LoadParams, ProducerRegistry
+from phaneron_tpu.runtime.channel import Channel
+
+from conftest import run_async as run
+
+TINY = VideoFormat("tiny", 1, 96, 64, 96, 50, 1, 48000, 2)
+
+W_SRC, H_SRC = 100, 80  # deliberately not a multiple of 8
+N_FRAMES = 12
+
+FFPROBE = f"""#!{sys.executable}
+import json, sys
+print(json.dumps({{"streams": [
+  {{"codec_type": "video", "width": {W_SRC}, "height": {H_SRC},
+    "pix_fmt": "yuv422p10le", "avg_frame_rate": "25/1",
+    "field_order": "progressive"}},
+  {{"codec_type": "audio", "channels": 1, "sample_rate": "48000"}},
+  {{"codec_type": "audio", "channels": 1, "sample_rate": "48000"}}
+], "format": {{"duration": "1.0"}}}}))
+"""
+
+FFMPEG = f"""#!{sys.executable}
+import sys, numpy as np
+args = sys.argv
+out = sys.stdout.buffer
+if "f32le" in args:
+    assert "-filter_complex" in args, "expected amerge graph for 2 mono streams"
+    fc = args[args.index("-filter_complex") + 1]
+    assert "amerge=inputs=2" in fc, fc
+    assert args[args.index("-ac") + 1] == "2"
+    t = np.arange(48000, dtype=np.float32) / 48000.0
+    tone = 0.5 * np.sin(2 * np.pi * 1000.0 * t)
+    buf = np.stack([tone, tone], axis=1).reshape(-1).astype("<f4")
+    out.write(buf.tobytes())
+elif "rawvideo" in args:
+    assert args[args.index("-pix_fmt") + 1] == "yuv422p10le"
+    for i in range({N_FRAMES}):
+        y = np.full(({H_SRC}, {W_SRC}), 256 + 32 * i, "<u2")
+        c = np.full(({H_SRC}, {W_SRC} // 2), 512, "<u2")
+        out.write(y.tobytes()); out.write(c.tobytes()); out.write(c.tobytes())
+out.flush()
+"""
+
+
+@pytest.fixture
+def stub_ffmpeg(tmp_path, monkeypatch):
+    bindir = tmp_path / "bin"
+    bindir.mkdir()
+    for name, body in (("ffprobe", FFPROBE), ("ffmpeg", FFMPEG)):
+        p = bindir / name
+        p.write_text(body)
+        p.chmod(p.stat().st_mode | stat.S_IEXEC)
+    monkeypatch.setenv("PATH", f"{bindir}:{os.environ['PATH']}")
+    import shutil
+
+    shutil.which.cache_clear() if hasattr(shutil.which, "cache_clear") else None
+    return bindir
+
+
+def test_probe_and_dispatch(stub_ffmpeg):
+    from phaneron_tpu.producer.ffmpeg import _dispatch_pix, probe
+
+    info = probe("clip.mxf")
+    assert len(info["streams"]) == 3
+    assert _dispatch_pix("yuv422p10le") == ("yuv422p10le", "yuv422p10le")
+    assert _dispatch_pix("yuv420p") == ("yuv420p", "yuv420p")
+    assert _dispatch_pix("yuv422p") == ("yuv422p", "yuv422p8")
+    # non-native formats fall back (ffmpegProducer.ts:393-466)
+    assert _dispatch_pix("yuv444p12le") == ("yuv422p10le", "yuv422p10le")
+    assert _dispatch_pix("yuva420p")[0] == "rgba"
+
+
+def test_media_with_audio_plays(stub_ffmpeg):
+    """A media file with sound plays WITH sound: video at source geometry
+    stretch-fits the channel, 25 fps cadence doubles, and the merged
+    audio tone reaches the channel mix."""
+
+    async def main():
+        from phaneron_tpu.producer.ffmpeg import create_ffmpeg_producer
+
+        ch = Channel(1, TINY, ProducerRegistry([create_ffmpeg_producer]))
+        assert await ch.load_source(1, LoadParams("clip.mxf"))
+        ch.play(1)
+
+        from phaneron_tpu.ops.formats import get_format
+
+        v210 = get_format("v210")
+        lumas, rms = [], []
+        for _ in range(8):
+            f = await ch.render_frame()
+            y, _, _ = v210.unpack_codes([np.asarray(f.packed[0])], 96, 64)
+            lumas.append(int(np.asarray(y).max()))
+            rms.append(float(np.sqrt(np.mean(np.square(f.audio)))))
+        # content arrived (not black) once the pipe spun up
+        assert max(lumas) > 64
+        # the 1 kHz tone (0.5 FS on both merged channels) is audible
+        assert max(rms) > 0.2
+        # 25 fps source on a 50 Hz channel: luma changes at most every
+        # OTHER frame once flowing (each source frame shown twice)
+        flowing = [l for l in lumas if l > 64]
+        changes = sum(1 for a, b in zip(flowing, flowing[1:]) if a != b)
+        assert changes <= len(flowing) // 2
+        ch.layer(1).clear()
+
+    run(main())
+
+
+def test_audio_only_media_renders_black_with_sound(stub_ffmpeg, monkeypatch):
+    """Audio-only media: black video paces the channel, sound plays
+    (the reference substitutes black for missing video,
+    ffmpegProducer.ts:292-318)."""
+
+    async def main():
+        import phaneron_tpu.producer.ffmpeg as ff
+
+        real_probe = ff.probe
+        monkeypatch.setattr(
+            ff,
+            "probe",
+            lambda url: {
+                "streams": [
+                    s
+                    for s in real_probe(url)["streams"]
+                    if s["codec_type"] == "audio"
+                ]
+            },
+        )
+        ch = Channel(1, TINY, ProducerRegistry([ff.create_ffmpeg_producer]))
+        assert await ch.load_source(1, LoadParams("song.wav"))
+        ch.play(1)
+        rms = []
+        for _ in range(6):
+            f = await ch.render_frame()
+            rms.append(float(np.sqrt(np.mean(np.square(f.audio)))))
+        assert max(rms) > 0.2
+        ch.layer(1).clear()
+
+    run(main())
