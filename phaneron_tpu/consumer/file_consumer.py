@@ -52,7 +52,8 @@ class FileConsumer(Consumer):
         self._wav = None
         self._frames = 0
         self._pending_field = None  # top-field rgba awaiting its pair
-        self._q: queue.Queue = queue.Queue(maxsize=4)
+        # deep enough for the fetch thread to batch device syncs
+        self._q: queue.Queue = queue.Queue(maxsize=32)
         self._ring: StagingRing | None = None
         self._audio_q: queue.Queue = queue.Queue()
         self._threads: list[threading.Thread] = []
@@ -88,7 +89,7 @@ class FileConsumer(Consumer):
         from ..ops.formats import get_format
 
         frame_bytes = sum(get_format(self.pix_format).num_bytes(fmt.width, fmt.height))
-        self._ring = StagingRing(frame_bytes, slots=4)
+        self._ring = StagingRing(frame_bytes, slots=8)
         self._threads = [
             threading.Thread(target=self._fetch_loop, name="file-fetch", daemon=True),
             threading.Thread(target=self._write_loop, name="file-write", daemon=True),
@@ -134,17 +135,47 @@ class FileConsumer(Consumer):
     # --------------------------------------------------------- worker side
 
     def _fetch_loop(self) -> None:
-        """Device -> host into the staging ring (the 'unload queue')."""
-        while True:
+        """Device -> host into the staging ring (the 'unload queue').
+
+        Fetches BATCH frames per device sync: each sync is a fixed
+        round-trip (PCIe event on a real host; ~30 ms WAN RTT through
+        this tunnel), so per-frame syncs cap throughput at ~1/RTT.
+        Frames are stacked on-device (async dispatch) and pulled with
+        one sync per plane per batch."""
+        import jax.numpy as jnp
+
+        stopping = False
+        while not stopping:
             item = self._q.get()
             if item is _STOP:
                 return
-            planes, _ = item
-            data = b"".join(np.asarray(p).tobytes() for p in planes)
-            while not self._ring.try_write(data):
-                if self._stop.is_set():
-                    return
-                self._stop.wait(0.001)
+            batch = [item]
+            while len(batch) < 16:
+                try:
+                    nxt = self._q.get_nowait()
+                except queue.Empty:
+                    break
+                if nxt is _STOP:
+                    stopping = True
+                    break
+                batch.append(nxt)
+            if len(batch) == 1:
+                datas = [b"".join(np.asarray(p).tobytes() for p in batch[0][0])]
+            else:
+                n_planes = len(batch[0][0])
+                stacks = [
+                    np.asarray(jnp.stack([frame[0][i] for frame in batch]))
+                    for i in range(n_planes)
+                ]
+                datas = [
+                    b"".join(stacks[i][k].tobytes() for i in range(n_planes))
+                    for k in range(len(batch))
+                ]
+            for data in datas:
+                while not self._ring.try_write(data):
+                    if self._stop.is_set():
+                        return
+                    self._stop.wait(0.001)
 
     def _write_loop(self) -> None:
         """Staging ring -> disk (+ WAV audio, kept in frame order)."""

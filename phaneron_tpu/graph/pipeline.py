@@ -58,6 +58,8 @@ class LayerSpec(NamedTuple):
     warp_bucket: int = -1  # Pallas warp scale bucket covering the DVE
     # matrix (ops.pallas_warp.bucket_of) — host-side static decision;
     # -1 falls back to the XLA gather warp
+    warp_same_mat: bool = True  # dissolve sources share one transform
+    # (the common case): the fused pair kernel shares weight tables
     src_size: Optional[tuple[int, int]] = None  # (w, h) when the source
     # geometry differs from the channel: unpack at source size, then
     # stretch-fit (the reference's normalized-coordinate sampling does
@@ -143,21 +145,41 @@ ENABLE_PALLAS_WARP = True
 def _pick_warp(lspec: LayerSpec, spec: ChannelSpec):
     if not lspec.axis_aligned:
         return warp_affine
-    if (
-        ENABLE_PALLAS_WARP
-        and spec.pallas_stages
-        and lspec.warp_bucket >= 0
-        and spec.height % 8 == 0
-        and spec.width % 128 == 0
-    ):
+    if _use_pallas_warp(lspec, spec):
         from ..ops.pallas_warp import make_warp_program
 
         return make_warp_program(spec.height, spec.width, lspec.warp_bucket)
     return warp_axis_aligned
 
 
+def _use_pallas_warp(lspec: LayerSpec, spec: ChannelSpec) -> bool:
+    return (
+        ENABLE_PALLAS_WARP
+        and spec.pallas_stages
+        and lspec.axis_aligned
+        and lspec.warp_bucket >= 0
+        and spec.height % 8 == 0
+        and spec.width % 128 == 0
+    )
+
+
 def _process_layer(lspec: LayerSpec, lparams: dict, spec: ChannelSpec) -> jnp.ndarray:
     rgba = _layer_source(lspec, lspec.src_format, lparams, "src", spec)
+
+    if lspec.transition == "dissolve" and lspec.has_transform and _use_pallas_warp(
+        lspec, spec
+    ):
+        # fused pair: warp both dissolve sources + mix in ONE kernel
+        from ..ops.pallas_warp import make_warp_pair_program
+
+        fmt_b = lspec.src_b_format or lspec.src_format
+        rgba_b = _layer_source(lspec, fmt_b, lparams, "src_b", spec)
+        pair = make_warp_pair_program(
+            spec.height, spec.width, lspec.warp_bucket, lspec.warp_same_mat
+        )
+        mat = lparams["matrix"]
+        return pair(rgba, rgba_b, mat, lparams.get("matrix_b", mat), lparams["mix"])
+
     if lspec.has_transform:
         warp = _pick_warp(lspec, spec)
         rgba = warp(rgba, lparams["matrix"])

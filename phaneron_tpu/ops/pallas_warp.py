@@ -1,4 +1,5 @@
-"""Pallas axis-aligned DVE warp kernel.
+"""Pallas axis-aligned DVE warp kernel (single source or fused
+dissolve pair).
 
 The XLA gather warp costs ~0.4-0.6 ms per 1080p source and ~4 ms at UHD
 (pointwise gathers don't vectorise on the VPU); this kernel does the
@@ -6,8 +7,8 @@ whole separable bilinear warp in one pass:
 
 - grid over output row blocks; a scalar-prefetched per-block input row
   offset drives a dynamic DMA of just the needed source-row window
-  (HBM -> VMEM), DOUBLE-BUFFERED so block i+1's window streams in while
-  block i computes — the input never materialises in full in VMEM;
+  (HBM -> VMEM); the window buffer is released as soon as it is split
+  to bf16, so the next DMA streams in behind the matmul work;
 - BOTH resample passes run as one-hot banded-matmul MXU ops: the
   bilinear weight matrix (two non-zeros per output row/column) is built
   in-VMEM from iota comparisons, and values/weights are split into bf16
@@ -18,9 +19,12 @@ whole separable bilinear warp in one pass:
   filter weights, transform.ts:26-29);
 - column weights depend only on the chunk, not the row block, so they
   are built ONCE (first grid step) into a persistent scratch and reused
-  by every block — when the scratch fits the VMEM budget (computed
-  host-side; at UHD the window takes priority and weights rebuild per
-  block).
+  by every block when they fit the VMEM budget;
+- with n_src=2 the kernel warps BOTH dissolve sources and accumulates
+  out = warp(a)*mix + warp(b)*(1-mix) — the transition needs one fused
+  launch instead of two warps plus an elementwise mix over full frames
+  (transition.ts:60-65).  Source b's window DMA overlaps source a's
+  column pass.  Identical arithmetic to the two-kernel formulation.
 
 The row/column window sizes are STATIC per compiled program, selected
 host-side from the transform matrix via scale BUCKETS (bound 1x / 2x /
@@ -43,11 +47,13 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["make_warp_program", "bucket_of", "BUCKET_BOUNDS"]
+__all__ = ["make_warp_program", "make_warp_pair_program", "bucket_of", "BUCKET_BOUNDS"]
 
 COL_CHUNK = 128
-# bucket -> (max |m00|/|m11| covered, preferred output rows per block)
-BUCKET_BOUNDS = ((1.0, 40), (2.0, 40), (4.0, 16))
+# bucket -> (max |m00|/|m11| covered, preferred output rows per block).
+# The 1.25 bucket matters: broadcast DVE scales hover around 1.0, and
+# without it a 0.9x fill pays the 2x bucket's window everywhere.
+BUCKET_BOUNDS = ((1.0, 40), (1.25, 40), (2.0, 40), (4.0, 16))
 VMEM_BUDGET = 14 * 1024 * 1024  # leave headroom under the 16M scoped limit
 
 
@@ -69,7 +75,7 @@ def _ceil_to(v: float, m: int) -> int:
     return int(-(-v // m) * m)
 
 
-def _config(height: int, width: int, bucket: int) -> _Cfg:
+def _config(height: int, width: int, bucket: int, n_src: int, n_mat: int) -> _Cfg:
     bound, preferred = BUCKET_BOUNDS[bucket]
     win_c = min(_ceil_to(bound * (COL_CHUNK - 1) + 2 + (COL_CHUNK - 1), 128), width)
     n_chunks = width // COL_CHUNK
@@ -84,7 +90,7 @@ def _config(height: int, width: int, bucket: int) -> _Cfg:
         rows = 2 * 4 * rpb * width * 2
         out = 2 * 4 * rpb * width * 4  # double-buffered output block
         flat = 2 * 4 * rpb * win_c * 2
-        cw = n_chunks * 2 * win_c * COL_CHUNK * 2  # persisted weights
+        cw = n_mat * n_chunks * 2 * win_c * COL_CHUNK * 2  # persisted
         return _Cfg(rpb, win_r, win_c, True), win + win2 + rows + out + flat + cw
 
     # biggest block size whose persisted-weight layout fits VMEM wins
@@ -122,90 +128,52 @@ def _hi_lo(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
 
 
 @lru_cache(maxsize=None)
-def make_warp_program(
+def _make_program(
     height: int,
     width: int,
-    bucket: int = 0,
-    interpret: bool | None = None,
+    bucket: int,
+    n_src: int,
+    n_mat: int,
+    interpret: bool,
     _variant: str = "full",
 ):
-    """fn(src (4,H,W) f32, mat (3,3) f32) -> (4,H,W) f32.
-
-    ``bucket`` must come from bucket_of(mat) (static); ``width`` must be
-    a multiple of 128 (lane-aligned column windows).  ``_variant``
-    selects ablated kernels ('dma', 'rows', 'cols') for perf isolation
-    (tools/warp_ablate.py) — production always uses 'full'."""
-    if interpret is None:
-        interpret = jax.default_backend() == "cpu"
     assert width % COL_CHUNK == 0, "caller gates on width % 128 (pipeline._pick_warp)"
-    rpb, win_r, win_c, persist_cw = _config(height, width, bucket)
+    assert n_src in (1, 2) and n_mat in (1, n_src)
+    rpb, win_r, win_c, persist_cw = _config(height, width, bucket, n_src, n_mat)
     n_blocks = height // rpb
     n_chunks = width // COL_CHUNK
+    mixing = n_src == 2
 
-    def kernel(
-        row_off_ref,  # scalar prefetch (n_blocks,) int32
-        py_ref,  # VMEM (rpb, 1) f32 block
-        px_ref,  # VMEM (1, W) f32
-        col_off_ref,  # SMEM (1, n_chunks) int32
-        src_ref,  # ANY (4, H, W) f32 (stays in HBM)
-        out_ref,  # VMEM (4, rpb, W) f32 block
-        winbuf,  # scratch VMEM (4, win_r, W) f32
-        win2,  # scratch VMEM (2, 4, win_r, W) bf16 [vh, vl]
-        rows2,  # scratch VMEM (2, 4, rpb, W) bf16 [vh, vl]
-        flat2,  # scratch VMEM (2, 4, rpb, win_c) bf16
-        cw,  # scratch VMEM (n_chunks|1, 2, win_c, CHUNK) bf16 [wh, wl]
-        sem,  # DMA semaphore
-    ):
+    def kernel(*refs):
+        (row_off_ref, py_ref, px_ref, col_off_ref) = refs[:4]
+        idx = 4
+        mix_ref = None
+        if mixing:
+            mix_ref = refs[idx]
+            idx += 1
+        src_refs = refs[idx : idx + n_src]
+        out_ref = refs[idx + n_src]
+        (winbuf, win2, rows2, flat2, cw, sem) = refs[idx + n_src + 1 :]
+
         i = pl.program_id(0)
 
-        def window_dma(block):
-            r0 = pl.multiple_of(row_off_ref[block], 8)
+        def window_dma(block, s):
+            m = min(s, n_mat - 1)
+            r0 = pl.multiple_of(row_off_ref[m, block], 8)
             return pltpu.make_async_copy(
-                src_ref.at[:, pl.ds(r0, win_r), :], winbuf, sem
+                src_refs[s].at[:, pl.ds(r0, win_r), :], winbuf, sem
             )
-
-        def start_next():
-            # the window is consumed (split into win2) early, so block
-            # i+1's DMA streams into the SAME buffer while block i's
-            # row/column matmuls run — overlap without a second buffer
-            @pl.when(i + 1 < n_blocks)
-            def _():
-                window_dma(i + 1).start()
 
         @pl.when(i == 0)
         def _first():
-            window_dma(0).start()
-
-        window_dma(i).wait()
-        win = winbuf
-
-        r0 = pl.multiple_of(row_off_ref[i], 8)
-
-        if _variant == "dma":
-            out_ref[:] = win[:, :rpb, :]
-            start_next()
-            return
-
-        # ---- split the window into bf16 hi/lo; winbuf is then dead and
-        # the next block's DMA can stream into it
-        if _variant == "cols":  # ablation: skip the row matmul
-            for c in range(4):
-                vh, vl = _hi_lo(win[c, :rpb, :])
-                rows2[0, c] = vh
-                rows2[1, c] = vl
-        else:
-            for c in range(4):
-                vh, vl = _hi_lo(win[c])
-                win2[0, c] = vh
-                win2[1, c] = vl
-        start_next()
+            window_dma(0, 0).start()
 
         # ---- column weights [wh, wl]: chunk-dependent only — build once
         # on the first block when they fit VMEM, else per block
-        def build_cw(j, store):
-            c0 = pl.multiple_of(col_off_ref[0, j], COL_CHUNK)
+        def build_cw(j, m, store):
+            c0 = pl.multiple_of(col_off_ref[m, j], COL_CHUNK)
             o0 = pl.multiple_of(j * COL_CHUNK, COL_CHUNK)
-            pxc = px_ref[:, pl.ds(o0, COL_CHUNK)]  # (1, 128)
+            pxc = px_ref[pl.ds(m, 1), pl.ds(o0, COL_CHUNK)]  # (1, 128)
             x0 = jnp.floor(pxc)
             fx = (pxc - x0).astype(jnp.float32)
             x0i = x0.astype(jnp.int32)
@@ -221,72 +189,137 @@ def make_warp_program(
 
             @pl.when(i == 0)
             def _build_all():
-                jax.lax.fori_loop(
-                    0, n_chunks, lambda j, _: (build_cw(j, j), 0)[1], 0
-                )
+                for m in range(n_mat):
+                    jax.lax.fori_loop(
+                        0,
+                        n_chunks,
+                        lambda j, _, m=m: (build_cw(j, m, m * n_chunks + j), 0)[1],
+                        0,
+                    )
 
-        # ---- row pass: rows = rw @ win per channel on the MXU
-        pyb = py_ref[:]  # (rpb, 1)
-        y0 = jnp.floor(pyb)
-        fy = (pyb - y0).astype(jnp.float32)
-        y0i = y0.astype(jnp.int32)
-        w0 = jnp.where((y0i >= 0) & (y0i < height), 1.0 - fy, 0.0)
-        w1 = jnp.where((y0i + 1 >= 0) & (y0i + 1 < height), fy, 0.0)
-        kk = jax.lax.broadcasted_iota(jnp.int32, (rpb, win_r), 1) + r0
-        rw = jnp.where(kk == y0i, w0, 0.0) + jnp.where(kk == y0i + 1, w1, 0.0)
-        rwh, rwl = _hi_lo(rw)
+        def row_weights(m):
+            r0 = pl.multiple_of(row_off_ref[m, i], 8)
+            pyb = py_ref[:, pl.ds(m, 1)]  # (rpb, 1)
+            y0 = jnp.floor(pyb)
+            fy = (pyb - y0).astype(jnp.float32)
+            y0i = y0.astype(jnp.int32)
+            w0 = jnp.where((y0i >= 0) & (y0i < height), 1.0 - fy, 0.0)
+            w1 = jnp.where((y0i + 1 >= 0) & (y0i + 1 < height), fy, 0.0)
+            kk = jax.lax.broadcasted_iota(jnp.int32, (rpb, win_r), 1) + r0
+            rw = jnp.where(kk == y0i, w0, 0.0) + jnp.where(kk == y0i + 1, w1, 0.0)
+            return _hi_lo(rw)
 
-        if _variant != "cols":
-            for c in range(4):
-                rows = (
-                    jnp.dot(rwh, win2[0, c], preferred_element_type=jnp.float32)
-                    + jnp.dot(rwl, win2[0, c], preferred_element_type=jnp.float32)
-                    + jnp.dot(rwh, win2[1, c], preferred_element_type=jnp.float32)
-                )
-                if _variant == "rows":
-                    out_ref[c] = rows
-                    continue
-                rh, rl = _hi_lo(rows)
-                rows2[0, c] = rh
-                rows2[1, c] = rl
-            if _variant == "rows":
+        def process_source(s):
+            """Window -> bf16 split -> next DMA -> row pass -> col pass,
+            accumulating into out_ref (sequential sources: one window
+            buffer; source s+1's DMA overlaps source s's matmuls)."""
+            m = min(s, n_mat - 1)
+            window_dma(i, s).wait()
+
+            def start_next():
+                if s + 1 < n_src:
+                    window_dma(i, s + 1).start()
+                else:
+
+                    @pl.when(i + 1 < n_blocks)
+                    def _():
+                        window_dma(i + 1, 0).start()
+
+            if _variant == "dma":
+                out_ref[:] = winbuf[:, :rpb, :]
+                start_next()
                 return
 
-        # ---- column pass: windowed one-hot matmul per 128-lane chunk
-        # (values can't be dynamically sliced in Mosaic; refs can).
-        # fori_loop, NOT a Python loop: full unrolling at UHD (30 chunks)
-        # overflows the Mosaic scoped-vmem stack.
-        def chunk_body(j, _):
-            c0 = pl.multiple_of(col_off_ref[0, j], COL_CHUNK)
-            o0 = pl.multiple_of(j * COL_CHUNK, COL_CHUNK)
-            if persist_cw:
-                store = j
+            # split the window into bf16 hi/lo; winbuf is then dead and
+            # the next DMA can stream into it
+            if _variant == "cols":
+                for c in range(4):
+                    vh, vl = _hi_lo(winbuf[c, :rpb, :])
+                    rows2[0, c] = vh
+                    rows2[1, c] = vl
             else:
-                store = 0
-                build_cw(j, 0)
-            flat2[0, :, :, :] = rows2[0, :, :, pl.ds(c0, win_c)]
-            flat2[1, :, :, :] = rows2[1, :, :, pl.ds(c0, win_c)]
-            fh = flat2[0].reshape(4 * rpb, win_c)
-            fl = flat2[1].reshape(4 * rpb, win_c)
-            chunk = (
-                jnp.dot(fh, cw[store, 0], preferred_element_type=jnp.float32)
-                + jnp.dot(fl, cw[store, 0], preferred_element_type=jnp.float32)
-                + jnp.dot(fh, cw[store, 1], preferred_element_type=jnp.float32)
-            )
-            out_ref[:, :, pl.ds(o0, COL_CHUNK)] = chunk.reshape(4, rpb, COL_CHUNK)
-            return 0
+                for c in range(4):
+                    vh, vl = _hi_lo(winbuf[c])
+                    win2[0, c] = vh
+                    win2[1, c] = vl
+            start_next()
 
-        jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+            # ---- row pass: rows = rw @ win per channel on the MXU
+            rwh, rwl = row_weights(m)
+            if _variant != "cols":
+                for c in range(4):
+                    rows = (
+                        jnp.dot(rwh, win2[0, c], preferred_element_type=jnp.float32)
+                        + jnp.dot(rwl, win2[0, c], preferred_element_type=jnp.float32)
+                        + jnp.dot(rwh, win2[1, c], preferred_element_type=jnp.float32)
+                    )
+                    if _variant == "rows":
+                        out_ref[c] = rows
+                        continue
+                    rh, rl = _hi_lo(rows)
+                    rows2[0, c] = rh
+                    rows2[1, c] = rl
+                if _variant == "rows":
+                    return
+
+            # ---- column pass: windowed one-hot matmul per 128-lane
+            # chunk (values can't be dynamically sliced in Mosaic; refs
+            # can).  fori_loop, NOT a Python loop: full unrolling at UHD
+            # overflows the Mosaic scoped-vmem stack.
+            if mixing:
+                gain = mix_ref[0, 0] if s == 0 else 1.0 - mix_ref[0, 0]
+
+            def one_chunk(j):
+                o0 = pl.multiple_of(j * COL_CHUNK, COL_CHUNK)
+                if persist_cw:
+                    store = m * n_chunks + j
+                else:
+                    store = 0
+                    build_cw(j, m, 0)
+                c0 = pl.multiple_of(col_off_ref[m, j], COL_CHUNK)
+                flat2[0, :, :, :] = rows2[0, :, :, pl.ds(c0, win_c)]
+                flat2[1, :, :, :] = rows2[1, :, :, pl.ds(c0, win_c)]
+                fh = flat2[0].reshape(4 * rpb, win_c)
+                fl = flat2[1].reshape(4 * rpb, win_c)
+                chunk = (
+                    jnp.dot(fh, cw[store, 0], preferred_element_type=jnp.float32)
+                    + jnp.dot(fl, cw[store, 0], preferred_element_type=jnp.float32)
+                    + jnp.dot(fh, cw[store, 1], preferred_element_type=jnp.float32)
+                ).reshape(4, rpb, COL_CHUNK)
+                if mixing:
+                    # identical arithmetic to the two-kernel dissolve:
+                    # out = warp(a)*mix + warp(b)*(1-mix)
+                    chunk = chunk * gain
+                    if s > 0:
+                        chunk = out_ref[:, :, pl.ds(o0, COL_CHUNK)] + chunk
+                out_ref[:, :, pl.ds(o0, COL_CHUNK)] = chunk
+
+            # unrolled x2 inside the loop: the TPU scalar core's
+            # per-iteration overhead is visible at 30 chunks/block
+            unroll = 2 if n_chunks % 2 == 0 else 1
+
+            def chunk_body(j2, _):
+                for u in range(unroll):
+                    one_chunk(j2 * unroll + u)
+                return 0
+
+            jax.lax.fori_loop(0, n_chunks // unroll, chunk_body, 0)
+
+        for s in range(n_src):
+            process_source(s)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,  # row_off
+        num_scalar_prefetch=1,  # row_off (n_mat, n_blocks)
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((rpb, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),  # py
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # px (1, W)
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # col_off (1, n_chunks)
-            pl.BlockSpec(memory_space=pl.ANY),  # src stays in HBM
-        ],
+            pl.BlockSpec(
+                (rpb, n_mat), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+            ),  # py
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # px (n_mat, W)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # col_off (n_mat, n_chunks)
+        ]
+        + ([pl.BlockSpec(memory_space=pltpu.SMEM)] if mixing else [])  # mix (1,1)
+        + [pl.BlockSpec(memory_space=pl.ANY) for _ in range(n_src)],  # srcs in HBM
         out_specs=pl.BlockSpec(
             (4, rpb, width), lambda i, *_: (0, i, 0), memory_space=pltpu.VMEM
         ),
@@ -296,7 +329,8 @@ def make_warp_program(
             pltpu.VMEM((2, 4, rpb, width), jnp.bfloat16),
             pltpu.VMEM((2, 4, rpb, win_c), jnp.bfloat16),
             pltpu.VMEM(
-                ((n_chunks if persist_cw else 1), 2, win_c, COL_CHUNK), jnp.bfloat16
+                ((n_mat * n_chunks if persist_cw else 1), 2, win_c, COL_CHUNK),
+                jnp.bfloat16,
             ),
             pltpu.SemaphoreType.DMA,
         ],
@@ -308,34 +342,92 @@ def make_warp_program(
         interpret=interpret,
     )
 
-    @jax.jit
-    def warp(src, mat):
+    def prologue(mats):
+        """Per-matrix texel maps and window offsets (stacked (n_mat, ...))."""
         ix = (jnp.arange(width, dtype=jnp.float32) / width) - 0.5
         iy = (jnp.arange(height, dtype=jnp.float32) / height) - 0.5
-        # normalized coords -> texel space (OpenCL LINEAR: u*size - 0.5)
-        px = (mat[0, 0] * ix + mat[0, 2] + 0.5) * width - 0.5
-        py = (mat[1, 1] * iy + mat[1, 2] + 0.5) * height - 0.5
-
-        blocks = jnp.arange(n_blocks) * rpb
-        py_blk0 = py[blocks]
-        py_blk1 = py[blocks + rpb - 1]
-        row_lo = jnp.minimum(py_blk0, py_blk1)
-        row_off = jnp.clip(
-            jnp.floor(row_lo).astype(jnp.int32) // 8 * 8,
-            0,
-            max(height - win_r, 0),
+        pxs, pys, row_offs, col_offs = [], [], [], []
+        for mat in mats:
+            # normalized coords -> texel space (OpenCL LINEAR: u*size - 0.5)
+            px = (mat[0, 0] * ix + mat[0, 2] + 0.5) * width - 0.5
+            py = (mat[1, 1] * iy + mat[1, 2] + 0.5) * height - 0.5
+            blocks = jnp.arange(n_blocks) * rpb
+            row_lo = jnp.minimum(py[blocks], py[blocks + rpb - 1])
+            row_offs.append(
+                jnp.clip(
+                    jnp.floor(row_lo).astype(jnp.int32) // 8 * 8,
+                    0,
+                    max(height - win_r, 0),
+                )
+            )
+            chunks = jnp.arange(n_chunks) * COL_CHUNK
+            col_lo = jnp.minimum(px[chunks], px[chunks + COL_CHUNK - 1])
+            col_offs.append(
+                jnp.clip(
+                    jnp.floor(col_lo).astype(jnp.int32) // COL_CHUNK * COL_CHUNK,
+                    0,
+                    max(width - win_c, 0),
+                )
+            )
+            pxs.append(px)
+            pys.append(py)
+        return (
+            jnp.stack(row_offs),
+            jnp.stack(pys, axis=-1),
+            jnp.stack(pxs),
+            jnp.stack(col_offs),
         )
 
-        chunks = jnp.arange(n_chunks) * COL_CHUNK
-        px_c0 = px[chunks]
-        px_c1 = px[chunks + COL_CHUNK - 1]
-        col_lo = jnp.minimum(px_c0, px_c1)
-        col_off = jnp.clip(
-            jnp.floor(col_lo).astype(jnp.int32) // COL_CHUNK * COL_CHUNK,
-            0,
-            max(width - win_c, 0),
-        )
+    if n_src == 1:
 
-        return call(row_off, py[:, None], px[None, :], col_off[None, :], src)
+        @jax.jit
+        def warp(src, mat):
+            row_off, py, px, col_off = prologue([mat])
+            return call(row_off, py, px, col_off, src)
 
-    return warp
+        return warp
+
+    @jax.jit
+    def warp_pair(src_a, src_b, mat_a, mat_b, mix):
+        mats = [mat_a] if n_mat == 1 else [mat_a, mat_b]
+        row_off, py, px, col_off = prologue(mats)
+        mix_arr = jnp.asarray(mix, jnp.float32).reshape(1, 1)
+        return call(row_off, py, px, col_off, mix_arr, src_a, src_b)
+
+    return warp_pair
+
+
+def make_warp_program(
+    height: int,
+    width: int,
+    bucket: int = 0,
+    interpret: bool | None = None,
+    _variant: str = "full",
+):
+    """fn(src (4,H,W) f32, mat (3,3) f32) -> (4,H,W) f32.
+
+    ``bucket`` must come from bucket_of(mat) (static); ``width`` must be
+    a multiple of 128 (lane-aligned column windows).  ``_variant``
+    selects ablated kernels ('dma', 'rows', 'cols') for perf isolation
+    (tools/warp_ablate.py) — production always uses 'full'."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    return _make_program(height, width, bucket, 1, 1, interpret, _variant)
+
+
+def make_warp_pair_program(
+    height: int,
+    width: int,
+    bucket: int = 0,
+    same_mat: bool = True,
+    interpret: bool | None = None,
+):
+    """Fused dissolve pair: fn(src_a, src_b, mat_a, mat_b, mix) ->
+    warp(src_a)*mix + warp(src_b)*(1-mix), one kernel launch.
+
+    ``same_mat`` (static, from LayerSpec) shares the weight tables when
+    both sources carry the same transform — the common case during a
+    transition."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    return _make_program(height, width, bucket, 2, 1 if same_mat else 2, interpret)

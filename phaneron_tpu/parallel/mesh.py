@@ -44,33 +44,39 @@ def make_mesh(devices=None, ch: int | None = None, sp: int | None = None) -> Mes
     return Mesh(np.asarray(devices).reshape(ch, sp), ("ch", "sp"))
 
 
-def _plane_pspec(ndim: int) -> P:
-    """Shard a per-channel plane array: leading channel axis on 'ch',
-    the scanline axis on 'sp'.  Plane layouts are (C, H, ...) after
-    channel stacking; rings are (C, 3, 4, H, W)."""
-    if ndim == 5:  # (C, ring, rgba, H, W)
+_REPLICATED_KEYS = {"matrix", "matrix_b", "mix", "parity", "mask_mix"}
+
+
+def _param_pspec(key: str, ndim: int) -> P:
+    """Partition spec for one stacked per-channel param, selected by its
+    PARAM NAME (not a shape heuristic — a (C, 3, 4) colour matrix must
+    never land on a plane branch).  Leading axis is always the channel
+    stack ('ch'); plane-like params also shard scanlines on 'sp'."""
+    if key in _REPLICATED_KEYS or ndim <= 1:
+        return P(*(["ch"] + [None] * (ndim - 1))) if ndim >= 1 else P()
+    if key in ("src_ring", "src_b_ring"):  # (C, ring, rgba, H, W)
         return P("ch", None, None, "sp", None)
-    if ndim >= 3:
-        return P("ch", "sp", *([None] * (ndim - 2)))
-    if ndim == 2:
-        return P("ch", "sp")
-    return P("ch")
+    # packed planes / rgba frames: (C, H, ...) — scanlines on 'sp'
+    return P("ch", "sp", *([None] * (ndim - 2)))
 
 
 def shard_channel_params(params, mesh: Mesh):
-    """device_put a stacked multi-channel params pytree with ch/sp sharding."""
+    """device_put a stacked multi-channel params pytree with ch/sp
+    sharding, keyed by param name via the tree path."""
+    from jax.tree_util import DictKey, tree_map_with_path
 
-    def put(leaf):
+    def leaf_key(path) -> str:
+        for entry in reversed(path):
+            if isinstance(entry, DictKey):
+                return str(entry.key)
+        return ""
+
+    def put(path, leaf):
         leaf = jnp.asarray(leaf)
-        if leaf.ndim <= 1:  # per-channel scalars (C,)
-            spec = P("ch") if leaf.ndim == 1 else P()
-        elif leaf.shape[-1] in (3,) and leaf.ndim == 3:  # (C, 3, 3) matrices
-            spec = P("ch", None, None)
-        else:
-            spec = _plane_pspec(leaf.ndim)
+        spec = _param_pspec(leaf_key(path), leaf.ndim)
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
-    return jax.tree.map(put, params)
+    return tree_map_with_path(put, params)
 
 
 def make_multi_channel_program(spec: ChannelSpec, mesh: Mesh):

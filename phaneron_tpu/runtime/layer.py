@@ -363,15 +363,18 @@ class Layer:
                 params["matrix_b"] = jnp.asarray(self.next.mixer.matrix)
 
             warp_bucket = -1
+            same_mat = True
             if has_tf:
                 from ..ops.pallas_warp import bucket_of
 
                 warp_bucket = bucket_of(mixer.matrix, self.next.mixer.matrix)
+                same_mat = bool(np.array_equal(mixer.matrix, self.next.mixer.matrix))
             spec_kwargs = dict(
                 transition=tr.type,
                 has_transform=has_tf,
                 axis_aligned=mixer.axis_aligned,
                 warp_bucket=warp_bucket,
+                warp_same_mat=same_mat,
                 src_b_format=src_b_format,
             )
             if tr.type == "dissolve":

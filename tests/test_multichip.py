@@ -47,3 +47,47 @@ def test_channels_pinned_to_devices_with_cross_chip_route():
         assert np.asarray(y).max() > 64  # bars crossed the chip boundary
 
     run(main())
+
+
+def test_heterogeneous_channel_structures_tick_concurrently():
+    """Two channels with DIFFERENT frame-program structures, pinned to
+    different devices, tick concurrently (no shared-structure
+    constraint — each chip compiles its own fused program; SURVEY §2.7
+    P2)."""
+    devices = jax.devices()
+    assert len(devices) >= 2
+
+    async def main():
+        import asyncio
+
+        from phaneron_tpu.runtime.types import TransitionSpec
+
+        reg = ProducerRegistry([create_test_pattern_producer])
+        ch1 = Channel(1, TINY, reg, device=devices[0])
+        ch2 = Channel(2, TINY, reg, device=devices[1])
+
+        # ch1: plain single layer.  ch2: DVE transform + mid-dissolve —
+        # a structurally different fused program.
+        assert await ch1.load_source(1, LoadParams("BARS"))
+        ch1.play(1)
+        assert await ch2.load_source(1, LoadParams("RAMP"))
+        ch2.play(1)
+        assert ch2.layer(1).set_fill(0.1, 0.1, 0.8, 0.8)
+        await ch2.render_frame()
+        assert await ch2.load_source(
+            1, LoadParams("BARS"), transition=TransitionSpec("dissolve", 8)
+        )
+        ch2.play(1)
+
+        # concurrent ticks: both channels render in parallel
+        f1 = f2 = None
+        for _ in range(4):
+            f1, f2 = await asyncio.gather(ch1.render_frame(), ch2.render_frame())
+        assert devices[0] in f1.packed[0].devices()
+        assert devices[1] in f2.packed[0].devices()
+        s1 = ch1._last_layer_specs[1]
+        s2 = ch2._last_layer_specs[1]
+        assert s1 != s2  # genuinely different structures
+        assert s2.transition == "dissolve" and s2.has_transform
+
+    run(main())

@@ -43,7 +43,7 @@ def test_every_bucket_geometry():
     row/col windows against both borders."""
     rng = np.random.default_rng(5)
     src = jnp.asarray(rng.random((4, H, W), dtype=np.float32))
-    for scale, bucket in ((1.5, 0), (0.6, 1), (0.27, 2)):
+    for scale, bucket in ((1.5, 0), (0.85, 1), (0.6, 2), (0.27, 3)):
         for off in (-0.4, 0.0, 0.4):
             m = transform_matrix(W, H, scale_x=scale, scale_y=scale, offset_x=off, offset_y=-off)
             assert bucket_of(m) == bucket
@@ -57,11 +57,12 @@ def test_every_bucket_geometry():
 def test_bucket_bounds():
     assert bucket_of(transform_matrix(W, H, rotate=0.1)) == -1  # rotation
     assert bucket_of(transform_matrix(W, H, scale_y=0.1)) == -1  # |m11|=10
-    assert bucket_of(transform_matrix(W, H, scale_y=0.25)) == 2  # |m11|=4
-    assert bucket_of(transform_matrix(W, H, scale_y=0.6)) == 1
+    assert bucket_of(transform_matrix(W, H, scale_y=0.25)) == 3  # |m11|=4
+    assert bucket_of(transform_matrix(W, H, scale_y=0.9)) == 1  # the common fill
+    assert bucket_of(transform_matrix(W, H, scale_y=0.6)) == 2
     assert bucket_of(transform_matrix(W, H)) == 0
     # joint bucket over transition matrices takes the widest span
-    assert bucket_of(transform_matrix(W, H), transform_matrix(W, H, scale_y=0.5)) == 1
+    assert bucket_of(transform_matrix(W, H), transform_matrix(W, H, scale_y=0.5)) == 2
 
 
 def test_channel_program_uses_warp_kernel():
@@ -82,6 +83,57 @@ def test_channel_program_uses_warp_kernel():
     )
     # interpret-mode pallas path vs XLA path: packed codes may differ by
     # a single code on rte boundaries
+    ya, _, _ = v210.unpack_codes([jnp.asarray(a)], w, h)
+    yb, _, _ = v210.unpack_codes([jnp.asarray(b)], w, h)
+    assert np.abs(np.asarray(ya) - np.asarray(yb)).max() <= 1
+
+
+@pytest.mark.parametrize("same_mat", [True, False])
+def test_warp_pair_matches_two_warps_plus_mix(same_mat):
+    """The fused dissolve pair kernel must equal warp(a)*mix +
+    warp(b)*(1-mix) computed with two single-source kernels."""
+    from phaneron_tpu.ops.pallas_warp import make_warp_pair_program
+
+    rng = np.random.default_rng(7)
+    a = jnp.asarray(rng.random((4, H, W), dtype=np.float32))
+    b = jnp.asarray(rng.random((4, H, W), dtype=np.float32))
+    ma = transform_matrix(W, H, scale_x=0.9, scale_y=0.8, offset_x=0.05)
+    mb = ma if same_mat else transform_matrix(W, H, scale_x=1.2, offset_y=-0.1)
+    bucket = bucket_of(ma, mb)
+    mix = 0.3
+    single = make_warp_program(H, W, bucket, interpret=True)
+    want = np.asarray(single(a, jnp.asarray(ma))) * np.float32(mix) + np.asarray(
+        single(b, jnp.asarray(mb))
+    ) * np.float32(1.0 - mix)
+    pair = make_warp_pair_program(H, W, bucket, same_mat=same_mat, interpret=True)
+    got = np.asarray(
+        pair(a, b, jnp.asarray(ma), jnp.asarray(mb), jnp.float32(mix))
+    )
+    assert np.abs(want - got).max() <= 1e-6
+
+
+def test_channel_program_uses_pair_kernel():
+    """A dissolve+DVE layer routes through the fused pair kernel and
+    matches the XLA path to <=1 packed code."""
+    w, h = 128, 32
+    v210 = get_format("v210")
+    src = np.asarray(v210.fill_buf(w, h)[0])
+    src_b = np.asarray(v210.fill_buf(w, h)[0])
+    m = transform_matrix(w, h, scale_x=0.8, scale_y=0.8)
+    layer = LayerSpec(
+        "v210", transition="dissolve", src_b_format="v210",
+        has_transform=True, axis_aligned=True, warp_bucket=bucket_of(m),
+    )
+    spec = ChannelSpec(w, h, "v210", layers=(layer,), pallas_stages=True)
+    base = spec._replace(pallas_stages=False, layers=(layer._replace(warp_bucket=-1),))
+    params = {
+        "layers": [
+            {"src": [src], "src_b": [src_b], "matrix": jnp.asarray(m),
+             "mix": jnp.float32(0.4)}
+        ]
+    }
+    a = np.asarray(make_channel_program(spec)(params)[0])
+    b = np.asarray(make_channel_program(base)(params)[0])
     ya, _, _ = v210.unpack_codes([jnp.asarray(a)], w, h)
     yb, _, _ = v210.unpack_codes([jnp.asarray(b)], w, h)
     assert np.abs(np.asarray(ya) - np.asarray(yb)).max() <= 1
