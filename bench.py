@@ -96,7 +96,7 @@ def composite_step(w, h, pallas: bool, interpret: bool):
 def main():
     from phaneron_tpu.graph.pipeline import make_channel_program, ChannelSpec, LayerSpec
     from phaneron_tpu.ops.formats import get_format
-    from phaneron_tpu.ops.geometry import transform_matrix, warp_axis_aligned
+    from phaneron_tpu.ops.geometry import transform_matrix, warp_affine, warp_axis_aligned
     from phaneron_tpu.ops.pallas_kernels import make_fused_v210_program
     from phaneron_tpu.ops.pallas_warp import bucket_of, make_warp_program
 
@@ -142,6 +142,19 @@ def main():
         warp_ratio[f"{h}p"] = round(g_ms / p_ms, 2)
         log(f"warp {w}x{h}: pallas {p_ms:.3f} ms vs gather {g_ms:.3f} ms "
             f"-> {g_ms/p_ms:.2f}x")
+
+    # 2b. rotation (non-axis-aligned) DVE: the 2-D gather path.  MIXER
+    # ROTATION has a measured cost; at 1080p it exceeds one 50 Hz frame
+    # period on a single chip — the scaling answer is scanline (sp)
+    # sharding, which divides this linearly across chips (the multichip
+    # dryrun proves warp halo correctness under sp sharding).
+    rot_m = jax.device_put(jnp.asarray(
+        transform_matrix(1920, 1080, rotate=0.05, scale_x=0.9, scale_y=0.9)))
+    rng = np.random.default_rng(0)
+    rot_src = jax.device_put(rng.random((4, 1080, 1920), dtype=np.float32))
+    wa = jax.jit(warp_affine)
+    rot_ms, _ = chain_ms(lambda x: wa(x, rot_m), rot_src, n_small=2, n_large=8)
+    log(f"rotation warp (2-D gather) 1080p: {rot_ms:.3f} ms/frame")
 
     # 3. single-layer opaque v210 PASSTHROUGH (the trivial case, labelled)
     fused = make_fused_v210_program(3840, 2160, interpret=interpret)
@@ -203,6 +216,7 @@ def main():
                     "hd1080p50_passthrough_channels_per_chip": int(20.0 / hdf_ms),
                     "hd_4layer_pipeline_p50_ms": round(pipe_p50, 2),
                     "hd_4layer_pipeline_p99_ms": round(pipe_p99, 2),
+                    "rotation_gather_1080p_ms": round(rot_ms, 2),
                     "device": str(dev),
                 },
             }

@@ -34,6 +34,20 @@ class GammaPair:
     l2g: GammaFn
 
 
+def _assemble(r: jnp.ndarray, g: jnp.ndarray, b: jnp.ndarray, a: jnp.ndarray) -> jnp.ndarray:
+    """(H, W) channel planes -> (4, H, W) via channel-index selection.
+
+    Pure selection (bit-identical values to stacking), but elementwise —
+    a jnp.stack lowers to an XLA concatenate that breaks fusion with the
+    surrounding elementwise chain on TPU."""
+    ch = jnp.arange(4, dtype=jnp.int32)[:, None, None]
+    return jnp.where(
+        ch == 0,
+        r[None],
+        jnp.where(ch == 1, g[None], jnp.where(ch == 2, b[None], a[None])),
+    )
+
+
 def ycbcr_to_rgba(
     y: jnp.ndarray,
     cb: jnp.ndarray,
@@ -58,20 +72,18 @@ def ycbcr_to_rgba(
     out_g = gm[1, 0] * r + gm[1, 1] * g + gm[1, 2] * b
     out_b = gm[2, 0] * r + gm[2, 1] * g + gm[2, 2] * b
     alpha = jnp.ones_like(out_r)
-    return jnp.stack([out_r, out_g, out_b, alpha])
+    return _assemble(out_r, out_g, out_b, alpha)
 
 
 def rgb_gamut(rgba: jnp.ndarray, gamut_matrix: jnp.ndarray) -> jnp.ndarray:
     """Apply a 3x3 linear gamut matrix to (4, H, W) RGBA, alpha untouched."""
     r, g, b, a = rgba[0], rgba[1], rgba[2], rgba[3]
     gm = gamut_matrix
-    return jnp.stack(
-        [
-            gm[0, 0] * r + gm[0, 1] * g + gm[0, 2] * b,
-            gm[1, 0] * r + gm[1, 1] * g + gm[1, 2] * b,
-            gm[2, 0] * r + gm[2, 1] * g + gm[2, 2] * b,
-            a,
-        ]
+    return _assemble(
+        gm[0, 0] * r + gm[0, 1] * g + gm[0, 2] * b,
+        gm[1, 0] * r + gm[1, 1] * g + gm[1, 2] * b,
+        gm[2, 0] * r + gm[2, 1] * g + gm[2, 2] * b,
+        a,
     )
 
 
