@@ -22,6 +22,7 @@ __all__ = [
     "amix",
     "crossfade",
     "adapt_channels",
+    "LinearResampler",
     "Rechunker",
     "interleave_s32",
 ]
@@ -88,6 +89,43 @@ def amix(inputs: list[np.ndarray], normalize: bool = True) -> np.ndarray:
     if normalize and len(inputs) > 1:
         acc /= np.float32(len(inputs))
     return acc
+
+
+class LinearResampler:
+    """Stateful linear-interpolation sample-rate converter.
+
+    The reference's per-source filter graph converts the source rate to
+    the consumer rate inside libavfilter (mixer.ts inputParams
+    srcSampleRate -> outputParams dstSampleRate); here a phase-carrying
+    linear resampler does the same on the host.  Chunks stream in any
+    size; phase is continuous across chunks."""
+
+    def __init__(self, src_rate: int, dst_rate: int, channels: int):
+        self.ratio = src_rate / dst_rate
+        self.channels = channels
+        self._buf = np.zeros((channels, 0), dtype=np.float32)
+        self._pos = 0.0  # source-sample position of the next output
+
+    def push(self, samples: np.ndarray) -> np.ndarray:
+        self._buf = np.concatenate([self._buf, samples.astype(np.float32)], axis=1)
+        avail = self._buf.shape[1]
+        if avail < 2:
+            return np.zeros((self.channels, 0), dtype=np.float32)
+        # outputs whose interpolation interval [i0, i0+1] is in-buffer
+        n_out = int(np.floor((avail - 1 - self._pos) / self.ratio)) + 1
+        if n_out <= 0:
+            return np.zeros((self.channels, 0), dtype=np.float32)
+        pos = self._pos + np.arange(n_out) * self.ratio
+        i0 = np.floor(pos).astype(np.int64)
+        frac = (pos - i0).astype(np.float32)
+        # the last output can land exactly on the final sample (frac 0):
+        # clamp its (zero-weighted) second tap in-buffer
+        i1 = np.minimum(i0 + 1, avail - 1)
+        out = self._buf[:, i0] * (1.0 - frac) + self._buf[:, i1] * frac
+        consumed = int(i0[-1])  # keep the last interval's first sample
+        self._buf = self._buf[:, consumed:]
+        self._pos = float(pos[-1] - consumed + self.ratio)
+        return out
 
 
 class Rechunker:

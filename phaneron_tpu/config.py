@@ -56,6 +56,8 @@ VIDEO_FORMATS: dict[str, VideoFormat] = {
         _fmt("1080p2500", 1, 1920, 1080, 1920, 25, 1),
         _fmt("2160p5000", 1, 3840, 2160, 3840, 50, 1),
         _fmt("2160p2500", 1, 3840, 2160, 3840, 25, 1),
+        _fmt("4320p5000", 1, 7680, 4320, 7680, 50, 1),  # 8K (README.md:39
+        # calls UHD/8K aspirational in the reference; real here)
     ]
 }
 

@@ -91,13 +91,24 @@ class MJPEGProducer(Producer):
             return None
         return await self._reader.readexactly(length)
 
-    def video_stream(self) -> Stream:
+    def _decode_upload(self, jpeg: bytes, w: int, h: int):
+        """JPEG -> rgba8 plane on device (runs on a worker thread so the
+        PIL decode and host->HBM upload never block the event loop)."""
         import io
+        import time
 
         import jax
-
         from PIL import Image
 
+        stamp = time.monotonic()
+        img = Image.open(io.BytesIO(jpeg)).convert("RGB")
+        if img.size != (w, h):
+            img = img.resize((w, h))
+        rgb = np.asarray(img, dtype=np.uint8)
+        rgba = np.dstack([rgb, np.full(rgb.shape[:2], 255, np.uint8)])
+        return [jax.device_put(rgba)], stamp
+
+    def video_stream(self) -> Stream:
         w, h = self.fmt.width, self.fmt.height
         length_limit = self.params.length
 
@@ -112,17 +123,14 @@ class MJPEGProducer(Producer):
                     break
                 if jpeg is None:
                     break
-                img = Image.open(io.BytesIO(jpeg)).convert("RGB")
-                if img.size != (w, h):
-                    img = img.resize((w, h))
-                rgb = np.asarray(img, dtype=np.uint8)
-                rgba = np.dstack([rgb, np.full(rgb.shape[:2], 255, np.uint8)])
+                payload, stamp = await asyncio.to_thread(self._decode_upload, jpeg, w, h)
                 yield VideoFrame(
                     timestamp=ts,
                     format="rgba8",
-                    payload=[jax.device_put(rgba)],
+                    payload=payload,
                     width=w,
                     height=h,
+                    loadstamp=stamp,
                 )
                 ts += 1
             yield END

@@ -179,7 +179,8 @@ class RawFileProducer(Producer):
         return from_generator(gen)
 
     def audio_stream(self) -> Stream:
-        rate = self.fmt.audio_sample_rate
+        # sidecar may declare the PCM's own rate; the layer resamples
+        rate = int(self.meta.get("audio_rate", self.fmt.audio_sample_rate))
         channels = self.fmt.audio_channels
         audio_path = self.meta.get("audio")
         pcm = None

@@ -55,6 +55,7 @@ class SourceSlot:
         )
         self.audio_chunks: deque = deque()
         self.audio_ended = False
+        self._resampler = None  # created on first off-rate audio chunk
         self.last: Optional[VideoFrame] = None
         self.ended = False
         self.paused = True
@@ -159,7 +160,22 @@ class SourceSlot:
                 if tail is not None:
                     self.audio_chunks.append(tail)
                 break
-            samples = adapt_channels(af.samples, self.channel_fmt.audio_channels)
+            samples = af.samples
+            if af.sample_rate != self.channel_fmt.audio_sample_rate:
+                # source-rate media: continuous-phase linear resample to
+                # the channel rate (mixer.ts srcSampleRate->dstSampleRate)
+                if self._resampler is None:
+                    from ..audio.engine import LinearResampler
+
+                    self._resampler = LinearResampler(
+                        af.sample_rate,
+                        self.channel_fmt.audio_sample_rate,
+                        samples.shape[0],
+                    )
+                samples = self._resampler.push(samples)
+                if samples.shape[1] == 0:
+                    continue
+            samples = adapt_channels(samples, self.channel_fmt.audio_channels)
             self.audio_chunks.extend(self.rechunker.push(samples))
         if self.paused or not self.audio_chunks:
             return silence(self.channel_fmt.audio_channels, self.channel_fmt.samples_per_frame)

@@ -112,8 +112,14 @@ class Mixer:
         return 0.0 if self.muted else self.volume
 
     def apply_audio(self, samples: np.ndarray) -> np.ndarray:
-        """Full per-source audio chain: pan levels then volume
-        (mixer.ts:140-169 pan -> ... -> volume)."""
+        """Full per-source audio chain: pan levels then volume.
+
+        The reference's graph is pan -> highpass -> adelay ->
+        acompressor -> aformat -> volume (mixer.ts:146), but highpass is
+        built with mix=0, adelay with delays='' and acompressor with
+        threshold=1:mix=0 — all NO-OPS (placeholders with no control
+        surface).  Pan + volume is therefore the complete effective
+        chain; fltp layout is this engine's native representation."""
         if self.src_levels is not None:
             n = min(len(self.src_levels), samples.shape[0])
             samples = samples.copy()

@@ -84,3 +84,72 @@ def test_crossfade_unity_and_constant_power():
     # constant-power: equal-power at the midpoint for uncorrelated inputs
     out = crossfade(tone, np.zeros_like(tone), 0.5, constant_power=True)
     assert np.allclose(out, tone * np.float32(0.5**0.5), atol=1e-6)
+
+
+def test_linear_resampler_rate_and_pitch():
+    from phaneron_tpu.audio.engine import LinearResampler
+
+    src_rate, dst_rate = 24000, 48000
+    t = np.arange(src_rate, dtype=np.float64) / src_rate
+    tone = np.sin(2 * np.pi * 600.0 * t).astype(np.float32)[None, :]
+    rs = LinearResampler(src_rate, dst_rate, 1)
+    outs = [rs.push(tone[:, i : i + 700]) for i in range(0, src_rate, 700)]
+    out = np.concatenate(outs, axis=1)
+    # ~2x the samples out (one second of audio either way)
+    assert abs(out.shape[1] - dst_rate) < 8
+    # the tone stays at 600 Hz in the new rate: count zero crossings
+    zc = np.sum(np.abs(np.diff(np.signbit(out[0])))) / 2
+    assert abs(zc - 600) <= 2
+    # phase continuity across chunk boundaries: no sample-to-sample jumps
+    step = np.abs(np.diff(out[0])).max()
+    assert step < 2 * np.pi * 600 / dst_rate * 1.2
+
+
+def test_source_rate_audio_resampled_to_channel(tmp_path):
+    """A raw clip whose sidecar declares 24 kHz PCM plays at the channel's
+    48 kHz with the tone intact (mixer.ts src->dst sample-rate path)."""
+    import asyncio
+    import json
+
+    from conftest import run_async as run
+    from phaneron_tpu.config import VideoFormat
+    from phaneron_tpu.ops.formats import get_format
+    from phaneron_tpu.producer.producer import LoadParams, ProducerRegistry
+    from phaneron_tpu.producer.raw_file import create_raw_file_producer
+    from phaneron_tpu.runtime.channel import Channel
+
+    TINY = VideoFormat("tiny", 1, 96, 64, 96, 50, 1, 48000, 2)
+    v210 = get_format("v210")
+    clip = tmp_path / "clip.v210"
+    clip.write_bytes(np.asarray(v210.fill_buf(96, 64)[0]).tobytes() * 8)
+    src_rate = 24000
+    t = np.arange(src_rate, dtype=np.float64) / src_rate
+    tone = np.sin(2 * np.pi * 600.0 * t).astype(np.float32)
+    pcm = np.stack([tone, tone])  # stored planar per QUANTUM blocks
+    blocks = [pcm[:, i : i + 1024] for i in range(0, pcm.shape[1] - 1024, 1024)]
+    (tmp_path / "clip.pcm").write_bytes(
+        b"".join(b.tobytes() for b in blocks)
+    )
+    (tmp_path / "clip.v210.json").write_text(
+        json.dumps({
+            "format": "v210", "width": 96, "height": 64, "loop": True,
+            "audio": "clip.pcm", "audio_channels": 2, "audio_rate": src_rate,
+        })
+    )
+
+    async def main():
+        ch = Channel(1, TINY, ProducerRegistry([create_raw_file_producer]))
+        assert await ch.load_source(1, LoadParams(str(clip), loop=True))
+        ch.play(1)
+        chunks = []
+        for _ in range(6):
+            f = await ch.render_frame()
+            chunks.append(f.audio)
+        out = np.concatenate(chunks[1:], axis=1)  # skip warmup silence
+        rms = float(np.sqrt(np.mean(np.square(out))))
+        assert rms > 0.3  # the tone arrived
+        zc = np.sum(np.abs(np.diff(np.signbit(out[0])))) / 2
+        seconds = out.shape[1] / 48000
+        assert abs(zc / seconds - 600) < 30  # pitch preserved at 48 kHz
+
+    run(main())

@@ -77,9 +77,13 @@ def profile_channel(w, h, name):
     rgba_bytes = 4 * h * w * 4
 
     unpack = make_v210_unpack_rgba(w, h)
-    rgba = unpack(words)
     pack = make_v210_pack_rgba(w, h)
-    stage("pallas v210 unpack (+relayout)", lambda x: unpack(pack(x)), rgba,
+    # jit the whole chain: the stage builders return plain Python
+    # wrappers whose per-op EAGER dispatch pays a tunnel round trip
+    # each — measuring them unjitted reports ~30 ms of RTT, not kernels
+    roundtrip = jax.jit(lambda x: unpack(pack(x)[0]))
+    rgba = jax.jit(unpack)(words)
+    stage("pallas v210 pack+unpack (jit chain)", roundtrip, rgba,
           floor_bytes=2 * (words.nbytes * 2 + rgba_bytes * 2), n_small=4, n_large=32)
 
     m = transform_matrix(w, h, scale_x=0.9, scale_y=0.9, offset_x=0.02)
