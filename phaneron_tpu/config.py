@@ -74,6 +74,8 @@ class ConsumerConfig:
 
     format: str = "1080p5000"
     device: dict[str, Any] = field(default_factory=dict)  # name + params
+    chip: Optional[int] = None  # TPU device index to pin the channel to
+    # (channel-per-chip placement, SURVEY §2.7 P2); None = default device
 
 
 @dataclass
@@ -96,7 +98,9 @@ class ServerConfig:
     def load(cls, path: str | Path) -> "ServerConfig":
         raw = json.loads(Path(path).read_text())
         channels = [
-            ConsumerConfig(c.get("format", "1080p5000"), c.get("device", {}))
+            ConsumerConfig(
+                c.get("format", "1080p5000"), c.get("device", {}), c.get("chip")
+            )
             for c in raw.get("channels", [])
         ]
         cfg = cls()

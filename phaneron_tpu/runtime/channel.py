@@ -113,10 +113,47 @@ class Channel:
 
     # ----------------------------------------------------------- layers
 
+    # producer crash -> bounded reload attempts (SURVEY.md §5.3 asks the
+    # build to ADD restart on top of the reference's degrade-to-black)
+    MAX_SOURCE_RESTARTS = 3
+
     def layer(self, num: int) -> Layer:
         if num not in self.layers:
-            self.layers[num] = Layer(self.fmt, self.col_spec, self.gamma_mode)
+            lay = Layer(self.fmt, self.col_spec, self.gamma_mode)
+            lay.on_end(lambda _l, n=num: self._maybe_restart(n))
+            self.layers[num] = lay
         return self.layers[num]
+
+    def _maybe_restart(self, num: int) -> None:
+        """On source END caused by a producer failure (not natural end),
+        schedule a reload of the same LoadParams with backoff."""
+        lay = self.layers.get(num)
+        slot = lay.cur if lay else None
+        if slot is None or not getattr(slot, "failed", False):
+            return
+        params = getattr(lay, "_restart_params", None)
+        count = getattr(lay, "_restart_count", 0)
+        if params is None or count >= self.MAX_SOURCE_RESTARTS:
+            return
+        try:
+            loop = asyncio.get_running_loop()
+        except RuntimeError:
+            return
+        loop.create_task(self._restart_layer(num, params, count))
+
+    async def _restart_layer(self, num: int, params, count: int) -> None:
+        await asyncio.sleep(0.2 * (count + 1))
+        lay = self.layers.get(num)
+        if lay is None:
+            return
+        print(
+            f"channel {self.chan_id}: restarting failed source on layer {num} "
+            f"(attempt {count + 1}/{self.MAX_SOURCE_RESTARTS})"
+        )
+        ok = await self.load_source(num, params)
+        lay._restart_count = count + 1  # load_source reset it; keep the tally
+        if ok:
+            self.play(num)
 
     async def load_source(
         self,
@@ -154,6 +191,9 @@ class Channel:
             mask_producer=mask_producer,
             mask_mixer=mask_mixer,
         )
+        lay = self.layer(layer_num)
+        lay._restart_params = params
+        lay._restart_count = 0
         self._prewarm_for(layer_num, producer, transition)
         return True
 
@@ -169,6 +209,12 @@ class Channel:
             deinterlace=deint,
         )
         predicted = [base, base._replace(has_transform=True)]
+        if self.use_pallas and self.fmt.width % 128 == 0 and self.fmt.height % 8 == 0:
+            # MIXER FILL engages the Pallas warp: precompile the common
+            # scale buckets so live DVE doesn't hit a first-compile stall
+            predicted += [
+                base._replace(has_transform=True, warp_bucket=b) for b in (0, 1)
+            ]
         if transition is not None and transition.type in ("dissolve", "wipe"):
             predicted.append(
                 base._replace(

@@ -58,6 +58,7 @@ class SourceSlot:
         self._resampler = None  # created on first off-rate audio chunk
         self.last: Optional[VideoFrame] = None
         self.ended = False
+        self.failed = False  # ended via producer error, not natural END
         self.paused = True
         self.frames_seen = 0
         self.ticks = 0
@@ -83,6 +84,7 @@ class SourceSlot:
             # frame loop (the reference's per-source degradation,
             # SURVEY.md §5.3)
             print(f"source {self.producer.source_id} failed: {err}")
+            self.failed = True
             self.ended = True
             return
         if frame is END:

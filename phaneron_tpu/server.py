@@ -36,10 +36,21 @@ from .runtime.channel import Channel
 __all__ = ["PhaneronServer"]
 
 
+def _ffmpeg_or_file(p: dict):
+    """FFmpeg encode consumer when a binary exists, else raw file
+    (the 'ffmpeg'/'file' alias pair, basicCmds.ts:195)."""
+    try:
+        from .consumer.ffmpeg_consumer import FFmpegConsumer
+
+        return FFmpegConsumer(p)
+    except RuntimeError:
+        return FileConsumer(p)
+
+
 def default_consumer_registry() -> ConsumerRegistry:
     reg = ConsumerRegistry()
     reg.register("file", lambda p: FileConsumer(p))
-    reg.register("ffmpeg", lambda p: FileConsumer(p))  # alias (basicCmds.ts:195)
+    reg.register("ffmpeg", _ffmpeg_or_file)
     reg.register("mjpeg", lambda p: MJPEGConsumer(p))
     reg.register("stream", lambda p: MJPEGConsumer(p))
     reg.register("screen", lambda p: PreviewConsumer(p))
@@ -79,12 +90,20 @@ class PhaneronServer:
         # a failing consumer must not kill the server
         for i, cc in enumerate(self.config.channels, start=1):
             fmt = get_video_format(cc.format)
+            chip_device = None
+            if cc.chip is not None:
+                # channel-per-chip placement from config (SURVEY §2.7 P2)
+                import jax
+
+                devices = jax.devices()
+                chip_device = devices[cc.chip % len(devices)]
             channel = Channel(
                 i,
                 fmt,
                 self.producer_registry,
                 col_spec=self.config.col_spec,
                 gamma_mode=self.config.gamma_mode,
+                device=chip_device,
             )
             device = dict(cc.device)
             name = device.pop("name", None)

@@ -231,3 +231,36 @@ def test_call_seek_on_raw_file(tmp_path, server_cfg):
 def test_decklink_url_falls_back_to_bars(server_cfg):
     responses, _ = amcp_session(server_cfg, ["PLAY 1-1 DECKLINK 1"])
     assert responses[0] == "202 PLAY OK"
+
+
+def test_config_chip_pins_channels():
+    """Config 'chip' indices place channels on their own devices
+    (channel-per-chip placement, SURVEY §2.7 P2)."""
+    import asyncio
+
+    import jax
+
+    from conftest import run_async as run
+    from phaneron_tpu.config import ConsumerConfig, ServerConfig
+    from phaneron_tpu.server import PhaneronServer
+
+    async def main():
+        cfg = ServerConfig(
+            channels=[
+                ConsumerConfig("720p5000", {}, chip=0),
+                ConsumerConfig("720p5000", {}, chip=1),
+            ],
+            amcp_port=15397,
+            osc_listen_port=19981,
+            osc_remote_port=19982,
+        )
+        server = PhaneronServer(cfg)
+        await server.start()
+        try:
+            devs = jax.devices()
+            assert server.channels[1].device == devs[0]
+            assert server.channels[2].device == devs[1]
+        finally:
+            await server.shutdown()
+
+    run(main())

@@ -37,7 +37,12 @@ FFMPEG = f"""#!{sys.executable}
 import sys, numpy as np
 args = sys.argv
 out = sys.stdout.buffer
-if "f32le" in args:
+if "pipe:0" in args:
+    # encode-consumer mode: count rawvideo bytes from stdin
+    data = sys.stdin.buffer.read()
+    with open(args[-1], "wb") as f:
+        f.write(b"ENCODED:%d" % len(data))
+elif "f32le" in args:
     assert "-filter_complex" in args, "expected amerge graph for 2 mono streams"
     fc = args[args.index("-filter_complex") + 1]
     assert "amerge=inputs=2" in fc, fc
@@ -148,5 +153,37 @@ def test_audio_only_media_renders_black_with_sound(stub_ffmpeg, monkeypatch):
             rms.append(float(np.sqrt(np.mean(np.square(f.audio)))))
         assert max(rms) > 0.2
         ch.layer(1).clear()
+
+    run(main())
+
+
+def test_ffmpeg_encode_consumer(stub_ffmpeg, tmp_path):
+    """The gated FFmpeg encode consumer pipes rawvideo to the binary and
+    drains off the frame loop (ffmpegConsumer.ts:163-258)."""
+
+    async def main():
+        import asyncio
+
+        from phaneron_tpu.consumer.ffmpeg_consumer import FFmpegConsumer
+        from phaneron_tpu.producer.test_pattern import create_test_pattern_producer
+
+        out = tmp_path / "rec.nut"
+        ch = Channel(1, TINY, ProducerRegistry([create_test_pattern_producer]))
+        cons = FFmpegConsumer({"path": str(out)})
+        await ch.add_consumer(cons)
+        assert await ch.load_source(1, LoadParams("BARS"))
+        ch.play(1)
+        for _ in range(3):
+            f = await ch.render_frame()
+            await cons.deliver(f)
+        cons.release()
+        for _ in range(100):  # wait for the subprocess to flush
+            await asyncio.sleep(0.05)
+            if out.exists() and out.read_bytes().startswith(b"ENCODED:"):
+                break
+        body = out.read_bytes()
+        assert body.startswith(b"ENCODED:")
+        # 3 frames of unpadded yuv422p10le at 96x64 = 3 * (96+48+48)*2*64
+        assert int(body.split(b":")[1]) == 3 * (96 + 48 + 48) * 2 * 64
 
     run(main())

@@ -79,3 +79,70 @@ def test_consumer_error_does_not_stop_channel():
         await ch.shutdown()
 
     run(main())
+
+
+def test_failed_producer_restarts_with_backoff():
+    """A producer that crashes mid-stream is reloaded with the same
+    LoadParams (bounded attempts) — elastic recovery on top of the
+    reference's degrade-to-black (SURVEY §5.3)."""
+
+    async def main():
+        import asyncio
+
+        import numpy as np
+
+        from phaneron_tpu.config import VideoFormat
+        from phaneron_tpu.ops.formats import get_format
+        from phaneron_tpu.producer.producer import ProducerRegistry
+        from phaneron_tpu.producer.test_pattern import create_test_pattern_producer
+        from phaneron_tpu.runtime.channel import Channel
+        from phaneron_tpu.producer.producer import LoadParams
+
+        TINY = VideoFormat("tiny", 1, 96, 64, 96, 50, 1, 48000, 2)
+        creations = {"n": 0}
+
+        def flaky_factory(source_id, params, fmt):
+            if not params.url.upper().startswith("FLAKY"):
+                from phaneron_tpu.producer.producer import InvalidProducerError
+
+                raise InvalidProducerError("not flaky")
+            prod = create_test_pattern_producer(source_id, LoadParams("BARS"), fmt)
+            creations["n"] += 1
+            if creations["n"] == 1:
+                # first incarnation dies after two frames
+                real_stream = prod.video_stream
+
+                def broken_stream():
+                    s = real_stream()
+                    count = {"k": 0}
+                    orig_next = s.next
+
+                    async def next_():
+                        count["k"] += 1
+                        if count["k"] > 2:
+                            raise RuntimeError("decoder crashed")
+                        return await orig_next()
+
+                    s.next = next_
+                    return s
+
+                prod.video_stream = broken_stream
+            return prod
+
+        ch = Channel(1, TINY, ProducerRegistry([flaky_factory]))
+        assert await ch.load_source(1, LoadParams("FLAKY"))
+        ch.play(1)
+        v210 = get_format("v210")
+        saw_recovery = False
+        for _ in range(90):
+            f = await ch.render_frame()
+            await asyncio.sleep(0.01)
+            if creations["n"] >= 2:
+                y, _, _ = v210.unpack_codes([np.asarray(f.packed[0])], 96, 64)
+                if np.asarray(y).max() > 64:
+                    saw_recovery = True
+                    break
+        assert creations["n"] >= 2, "failed source was never reloaded"
+        assert saw_recovery, "restarted source never produced frames"
+
+    run(main())
