@@ -156,6 +156,28 @@ def main():
     rot_ms, _ = chain_ms(lambda x: wa(x, rot_m), rot_src, n_small=2, n_large=8)
     log(f"rotation warp (2-D gather) 1080p: {rot_ms:.3f} ms/frame")
 
+    # 2c. BASELINE config 2: deinterlace (yadif over a 3-frame ring) and
+    # the scaler (separable stretch-fit), 1080-class geometry
+    from phaneron_tpu.graph.pipeline import make_yadif_program
+    from phaneron_tpu.ops.geometry import resize_frame
+
+    yad = make_yadif_program(True, False)
+    ring = [
+        jax.device_put(np.random.default_rng(i).random((4, 1080, 1920), np.float32))
+        for i in range(2)
+    ]
+    parity = jnp.int32(0)
+    deint_ms, _ = chain_ms(
+        lambda x: yad(ring[0], ring[1], x, parity), ring[0], n_small=8, n_large=48
+    )
+    log(f"yadif deinterlace 1080i field: {deint_ms:.3f} ms")
+    sd = jax.device_put(np.random.default_rng(3).random((4, 720, 1280), np.float32))
+    scaler = jax.jit(
+        lambda x: resize_frame(resize_frame(x, 1080, 1920), 720, 1280)
+    )
+    scale_ms, _ = chain_ms(scaler, sd, n_small=8, n_large=48)
+    log(f"scaler 720p->1080p->720p pair: {scale_ms:.3f} ms")
+
     # 3. single-layer opaque v210 PASSTHROUGH (the trivial case, labelled)
     fused = make_fused_v210_program(3840, 2160, interpret=interpret)
     uhd_bytes = 2 * uhd_src.nbytes + 4 * uhd_src.nbytes
@@ -173,31 +195,31 @@ def main():
     # chains: each sample is an 8-frame chain's device time / 8, so the
     # tunnel's ~30 ms sync RTT amortises to <4 ms of noise per sample
     # (on a production host the sync is a PCIe event, not a WAN hop).
-    k = 8
+    k_small, k_large = 4, 16
     samples = []
-    x = hd_src
-    # warm
-    for _ in range(k):
-        x = hd_step(x)
-    jax.block_until_ready(x)
-    rtts = []
-    t_sync = jnp.zeros(())
-    for _ in range(8):
-        t0 = time.perf_counter()
-        jnp.add(t_sync, 1.0).block_until_ready()
-        rtts.append(time.perf_counter() - t0)
-    rtt = float(np.median(rtts))
-    for _ in range(40):
+
+    def run_chain(k):
         x = hd_src
         t0 = time.perf_counter()
         for _ in range(k):
             x = hd_step(x)
-        jax.block_until_ready(x)
-        samples.append(max(time.perf_counter() - t0 - rtt, 0.0) / k * 1e3)
+        # fetch, don't just block: block_until_ready can return before
+        # Pallas work completes on this backend (see chain_ms)
+        float(jnp.sum(x.astype(jnp.float32)))
+        return time.perf_counter() - t0
+
+    run_chain(k_large)  # warm
+    for _ in range(40):
+        # each sample differencing two chain lengths cancels that
+        # sample's tunnel RTT instead of a global estimate (the RTT
+        # itself jitters tens of ms run to run)
+        t_s = run_chain(k_small)
+        t_l = run_chain(k_large)
+        samples.append(max(t_l - t_s, 0.0) / (k_large - k_small) * 1e3)
     pipe_p50 = float(np.percentile(samples, 50))
     pipe_p99 = float(np.percentile(samples, 99))
     log(f"HD 4-layer pipeline latency: p50 {pipe_p50:.2f} ms  p99 {pipe_p99:.2f} ms "
-        f"(tunnel sync RTT {rtt*1e3:.1f} ms subtracted, /{k} amortised)")
+        f"(per-sample RTT-cancelled chain pairs)")
 
     print(
         json.dumps(
@@ -217,6 +239,8 @@ def main():
                     "hd_4layer_pipeline_p50_ms": round(pipe_p50, 2),
                     "hd_4layer_pipeline_p99_ms": round(pipe_p99, 2),
                     "rotation_gather_1080p_ms": round(rot_ms, 2),
+                    "yadif_1080i_field_ms": round(deint_ms, 3),
+                    "scaler_720_1080_pair_ms": round(scale_ms, 3),
                     "device": str(dev),
                 },
             }

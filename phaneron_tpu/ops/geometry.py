@@ -206,21 +206,27 @@ def resize_frame(
     flip: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Resize/scale/flip (resize.ts:35-59): posIn = inPos * mul + off with
-    mul/off from scale, offsets and the 4-float flip buffer."""
+    mul/off from scale, offsets and the 4-float flip buffer.
+
+    The map is axis-aligned by construction, so the sample runs as two
+    SEPARABLE 1-D passes (horizontal then vertical — the same lerp
+    order as the 2-D sampler, hence identical arithmetic) instead of a
+    pointwise 2-D gather, which is orders of magnitude slower on TPU.
+    This is the hot path for stretch-fitting sources whose geometry
+    differs from the channel (pipeline._unpack src_size)."""
     if flip is None:
         flip = jnp.asarray(flip_vals(False, False))
     scale = jnp.asarray(scale, dtype=jnp.float32)
     offset_x = jnp.asarray(offset_x, dtype=jnp.float32)
     offset_y = jnp.asarray(offset_y, dtype=jnp.float32)
 
-    ix = jnp.arange(out_width, dtype=jnp.float32)[None, :] / out_width
-    iy = jnp.arange(out_height, dtype=jnp.float32)[:, None] / out_height
+    ix = jnp.arange(out_width, dtype=jnp.float32) / out_width
+    iy = jnp.arange(out_height, dtype=jnp.float32) / out_height
     centre_x = (-0.5 - offset_x) / scale + 0.5
     centre_y = (-0.5 - offset_y) / scale + 0.5
     off_x = centre_x * flip[1] + flip[0]
     off_y = centre_y * flip[3] + flip[2]
-    px = ix * (flip[1] / scale) + off_x
-    py = iy * (flip[3] / scale) + off_y
-    px = jnp.broadcast_to(px, (out_height, out_width))
-    py = jnp.broadcast_to(py, (out_height, out_width))
-    return _sample_bilinear(src, px, py)
+    px = ix * (flip[1] / scale) + off_x  # (W_out,)
+    py = iy * (flip[3] / scale) + off_y  # (H_out,)
+    cols = _interp_1d(src, px, axis=2)
+    return _interp_1d(cols, py, axis=1)
