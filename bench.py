@@ -69,7 +69,7 @@ def chain_ms(step, x0, n_small=8, n_large=64, floor_bytes=0):
     return max(dev, 1e-6), t_small / n_small
 
 
-def composite_step(w, h, pallas: bool, interpret: bool):
+def composite_step(w, h, pallas: bool, interpret: bool = False):
     """The real serving shape: 4 layers, each with an axis-aligned DVE
     warp and a dissolve between two v210 sources, over-composited and
     packed back to v210."""

@@ -58,7 +58,9 @@ class FFmpegConsumer(Consumer):
             "ffmpeg", "-hide_banner", "-loglevel", "warning", "-y",
             "-f", "rawvideo", "-pix_fmt", "yuv422p10le",
             "-s", f"{fmt.width}x{fmt.height}",
-            "-r", f"{fmt.timescale}/{fmt.duration * (2 if fmt.interlaced else 1)}",
+            # interlaced channels deliver one full-height deinterlaced
+            # frame per FIELD tick, so the pipe rate is the field rate
+            "-r", f"{fmt.timescale}/{fmt.duration}",
             "-i", "pipe:0",
             "-c:v", self.vcodec,
         ]
@@ -84,29 +86,53 @@ class FFmpegConsumer(Consumer):
                 return
             await self._q.put(planes)  # recording: honest backpressure
 
-    def _to_bytes(self, planes) -> bytes:
-        # rawvideo yuv422p10le is unpadded: crop each plane to its
-        # unpadded width before piping
-        from ..ops.formats import get_format
+    def _batch_to_bytes(self, batch) -> list[bytes]:
+        """Fetch a BATCH of frames with one device sync per plane (a
+        per-frame sync costs one tunnel/PCIe round trip — same batching
+        rule as file_consumer._fetch_loop), cropping rawvideo planes to
+        their unpadded widths."""
+        import jax.numpy as jnp
 
-        fmt = get_format(PIPE_FORMAT)
         w = self.fmt.width
+        n_planes = len(batch[0])
+        if len(batch) == 1:
+            stacks = [np.asarray(batch[0][i])[None] for i in range(n_planes)]
+        else:
+            stacks = [
+                np.asarray(jnp.stack([frame[i] for frame in batch]))
+                for i in range(n_planes)
+            ]
         out = []
-        for i, p in enumerate(np.asarray(x) for x in planes):
-            cols = w if i == 0 else (w + 1) // 2
-            out.append(np.ascontiguousarray(p[:, :cols]).tobytes())
-        return b"".join(out)
+        for k in range(len(batch)):
+            parts = []
+            for i in range(n_planes):
+                cols = w if i == 0 else (w + 1) // 2
+                parts.append(np.ascontiguousarray(stacks[i][k][:, :cols]).tobytes())
+            out.append(b"".join(parts))
+        return out
 
     async def _drain(self) -> None:
         proc = self.proc
-        while True:
+        stopping = False
+        while not stopping:
             planes = await self._q.get()
             if planes is None:
                 break
-            data = await asyncio.to_thread(self._to_bytes, planes)
+            batch = [planes]
+            while len(batch) < 8:
+                try:
+                    nxt = self._q.get_nowait()
+                except asyncio.QueueEmpty:
+                    break
+                if nxt is None:
+                    stopping = True
+                    break
+                batch.append(nxt)
+            datas = await asyncio.to_thread(self._batch_to_bytes, batch)
             try:
-                proc.stdin.write(data)
-                await proc.stdin.drain()
+                for data in datas:
+                    proc.stdin.write(data)
+                    await proc.stdin.drain()
             except (BrokenPipeError, ConnectionResetError):
                 break
         if proc.stdin:

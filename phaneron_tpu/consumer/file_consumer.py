@@ -103,15 +103,19 @@ class FileConsumer(Consumer):
         if self._fh is None or (self.max_frames and self._frames >= self.max_frames):
             return
         planes = frame.packed
+        pcms = [self._audio_pcm(frame)]
         if self.interlaced and frame.rgba is not None:
             # two field-rate frames -> one interlaced frame
             # (macadamConsumer.ts:224-244 two-pass field packing); the
-            # pack is a device dispatch — no host copy here
+            # pack is a device dispatch — no host copy here.  The first
+            # field's audio travels WITH the pending pair so a dropped
+            # video frame drops both fields' audio (no A/V drift)
             if self._pending_field is None:
-                self._pending_field = frame.rgba
-                self._audio_q.put(self._audio_pcm(frame))
+                self._pending_field = (frame.rgba, pcms[0])
                 return
-            planes = self._pack_pair(self._pending_field, frame.rgba)
+            top, top_pcm = self._pending_field
+            planes = self._pack_pair(top, frame.rgba)
+            pcms = [top_pcm, pcms[0]]
             self._pending_field = None
         item = (planes, self._frames)
         try:
@@ -123,7 +127,8 @@ class FileConsumer(Consumer):
             # bounded backpressure off the event loop: the channel goes
             # late honestly instead of the loop blocking on a fetch
             await asyncio.to_thread(self._q.put, item)
-        self._audio_q.put(self._audio_pcm(frame))
+        for pcm in pcms:
+            self._audio_q.put(pcm)
         self._frames += 1
 
     def _audio_pcm(self, frame: ChannelFrame) -> bytes | None:

@@ -128,13 +128,24 @@ def _layer_source(lspec: LayerSpec, fmt_name: str, src: dict, key: str, spec: Ch
     unpacked 3-frame ring ('<key>_ring': (3, 4, H, W)) plus 'parity'."""
     if lspec.deinterlace and f"{key}_ring" in src:
         ring = src[f"{key}_ring"]
-        return yadif_frame(
+        rgba = yadif_frame(
             ring[0], ring[1], ring[2], src["parity"], spec.tff, skip_spatial=False
         )
+        return _fit_channel(rgba, spec)
     if fmt_name == "rgba_f32":
         # already-unpacked RGBA (route producer fork of a combiner output)
-        return src[key]
+        return _fit_channel(src[key], spec)
     return _unpack(fmt_name, src[key], spec, lspec.src_size)
+
+
+def _fit_channel(rgba: jnp.ndarray, spec: ChannelSpec) -> jnp.ndarray:
+    """Stretch-fit an already-unpacked RGBA frame whose geometry differs
+    from the channel (interlaced/route sources at native size)."""
+    if rgba.shape[-2:] != (spec.height, spec.width):
+        from ..ops.geometry import resize_frame
+
+        rgba = resize_frame(rgba, spec.height, spec.width)
+    return rgba
 
 
 # The Pallas DVE warp: scale-bucketed DMA windows keep its HBM reads at

@@ -75,7 +75,7 @@ def _ceil_to(v: float, m: int) -> int:
     return int(-(-v // m) * m)
 
 
-def _config(height: int, width: int, bucket: int, n_src: int, n_mat: int) -> _Cfg:
+def _config(height: int, width: int, bucket: int, n_mat: int) -> _Cfg:
     bound, preferred = BUCKET_BOUNDS[bucket]
     win_c = min(_ceil_to(bound * (COL_CHUNK - 1) + 2 + (COL_CHUNK - 1), 128), width)
     n_chunks = width // COL_CHUNK
@@ -139,7 +139,7 @@ def _make_program(
 ):
     assert width % COL_CHUNK == 0, "caller gates on width % 128 (pipeline._pick_warp)"
     assert n_src in (1, 2) and n_mat in (1, n_src)
-    rpb, win_r, win_c, persist_cw = _config(height, width, bucket, n_src, n_mat)
+    rpb, win_r, win_c, persist_cw = _config(height, width, bucket, n_mat)
     n_blocks = height // rpb
     n_chunks = width // COL_CHUNK
     mixing = n_src == 2

@@ -64,18 +64,28 @@ def ffmpeg_available() -> bool:
 
 
 def probe(url: str) -> dict:
-    """ffprobe stream/format tables as a dict (raises on failure)."""
-    out = subprocess.run(
-        [
-            "ffprobe", "-v", "quiet", "-print_format", "json",
-            "-show_streams", "-show_format", url,
-        ],
-        capture_output=True,
-        timeout=30,
-    )
+    """ffprobe stream/format tables as a dict.
+
+    Every failure mode (timeout, bad JSON, exec error) raises
+    InvalidProducerError so the registry's fallback chain keeps working
+    (producer.ts:62-102)."""
+    try:
+        out = subprocess.run(
+            [
+                "ffprobe", "-v", "quiet", "-print_format", "json",
+                "-show_streams", "-show_format", url,
+            ],
+            capture_output=True,
+            timeout=30,
+        )
+    except (subprocess.TimeoutExpired, OSError) as err:
+        raise InvalidProducerError(f"ffprobe failed for {url}: {err}")
     if out.returncode != 0:
         raise InvalidProducerError(f"ffprobe failed for {url}")
-    return json.loads(out.stdout or b"{}")
+    try:
+        return json.loads(out.stdout or b"{}")
+    except json.JSONDecodeError as err:
+        raise InvalidProducerError(f"ffprobe output unparsable for {url}: {err}")
 
 
 def _parse_rate(s: str | None) -> float:

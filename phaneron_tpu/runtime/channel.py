@@ -150,10 +150,21 @@ class Channel:
             f"channel {self.chan_id}: restarting failed source on layer {num} "
             f"(attempt {count + 1}/{self.MAX_SOURCE_RESTARTS})"
         )
-        ok = await self.load_source(num, params)
+        try:
+            ok = await self.load_source(num, params)
+        except Exception as err:
+            print(f"channel {self.chan_id}: restart load failed: {err}")
+            ok = False
         lay._restart_count = count + 1  # load_source reset it; keep the tally
         if ok:
             self.play(num)
+        elif count + 1 < self.MAX_SOURCE_RESTARTS:
+            # the source is still down (load itself failed): keep the
+            # retry chain going — a failed load never produces the END
+            # event that normally triggers the next attempt
+            asyncio.get_running_loop().create_task(
+                self._restart_layer(num, params, count + 1)
+            )
 
     async def load_source(
         self,

@@ -360,6 +360,14 @@ class Layer:
             k = self.transition_pos
             mix = max(0.0, 1.0 - k / max(tr.length, 1))
 
+            # BOTH sources' mixers shape the transition structure: the
+            # incoming source may carry a transform the current one
+            # doesn't (and vice versa), and a rotation on either side
+            # disqualifies the axis-aligned fast path
+            next_mixer = self.next.mixer
+            has_tf = has_tf or not next_mixer.is_identity
+            both_axis_aligned = mixer.axis_aligned and next_mixer.axis_aligned
+
             params: dict = {}
             if cur_params:
                 params.update(cur_params)
@@ -385,12 +393,12 @@ class Layer:
             if has_tf:
                 from ..ops.pallas_warp import bucket_of
 
-                warp_bucket = bucket_of(mixer.matrix, self.next.mixer.matrix)
-                same_mat = bool(np.array_equal(mixer.matrix, self.next.mixer.matrix))
+                warp_bucket = bucket_of(mixer.matrix, next_mixer.matrix)
+                same_mat = bool(np.array_equal(mixer.matrix, next_mixer.matrix))
             spec_kwargs = dict(
                 transition=tr.type,
                 has_transform=has_tf,
-                axis_aligned=mixer.axis_aligned,
+                axis_aligned=both_axis_aligned,
                 warp_bucket=warp_bucket,
                 warp_same_mat=same_mat,
                 src_b_format=src_b_format,
