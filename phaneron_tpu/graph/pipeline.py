@@ -84,6 +84,7 @@ class ChannelSpec(NamedTuple):
 
 
 _PLANAR422 = ("yuv422p10le", "yuv422p10", "yuv422p", "yuv422p8")
+_PLANAR420 = ("yuv420p", "nv12")
 
 
 def _unpack(fmt_name: str, planes, spec: ChannelSpec, size=None):
@@ -97,6 +98,10 @@ def _unpack(fmt_name: str, planes, spec: ChannelSpec, size=None):
         from ..ops.pallas_kernels import make_planar422_unpack_rgba
 
         rgba = make_planar422_unpack_rgba(fmt_name, w, h, spec.col_spec, spec.out_col_spec)(planes)
+    elif fmt_name in _PLANAR420 and spec.pallas_stages and h % 2 == 0:
+        from ..ops.pallas_kernels import make_planar420_unpack_rgba
+
+        rgba = make_planar420_unpack_rgba(fmt_name, w, h, spec.col_spec, spec.out_col_spec)(planes)
     else:
         loader = _loader(fmt_name, spec)
         rgba = fio.to_rgba(fmt, planes, loader, w, h)
@@ -231,6 +236,10 @@ def _channel_frame(spec: ChannelSpec, params: dict):
         from ..ops.pallas_kernels import make_planar422_pack_rgba
 
         packed = make_planar422_pack_rgba(spec.out_format, w, h, spec.out_col_spec)(composited)
+    elif spec.out_format in _PLANAR420 and spec.pallas_stages and h % 2 == 0:
+        from ..ops.pallas_kernels import make_planar420_pack_rgba
+
+        packed = make_planar420_pack_rgba(spec.out_format, w, h, spec.out_col_spec)(composited)
     else:
         out_fmt = get_format(spec.out_format)
         saver = _saver_cached(spec.out_format, spec.out_col_spec, spec.gamma_mode)

@@ -494,6 +494,207 @@ def make_planar422_pack_rgba(
     return pack
 
 
+@lru_cache(maxsize=None)
+def make_planar420_unpack_rgba(
+    fmt_name: str,
+    width: int,
+    height: int,
+    col_spec: str = "709",
+    out_col_spec: str = "709",
+    rows_per_block: int = 16,
+    interpret: bool | None = None,
+):
+    """4:2:0 (yuv420p / nv12) -> linear RGBA (4, H, W).
+
+    Line-pair x pixel-pair phase planes: luma splits into four
+    (row-parity, col-parity) planes of (H/2, pitch/2) so every phase
+    shares the SAME chroma sample — all lane-aligned elementwise ops
+    (the XLA formulation's chroma upsample costs ~5 ms of lane/sublane
+    relayouts at 1080p; this kernel has none).  nv12's interleaved
+    CbCr plane splits device-side in the wrapper (nv12.ts:24-60)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    from .formats import get_format
+
+    fmt = get_format(fmt_name)
+    info = fmt.INFO
+    p = fmt.pitch(width)
+    half = p // 2
+    assert height % 2 == 0, "4:2:0 kernels take even heights"
+    h2 = height // 2
+    # Mosaic wants row blocks divisible by 8: pad the chroma-row dim
+    # (540 at 1080p has no 8-multiple divisor) and crop after
+    h2p = -(-h2 // 8) * 8
+
+    hp = 2 * h2p
+
+    col_fwd = _literals(
+        cm.ycbcr2rgb_matrix(
+            col_spec, info.num_bits, info.luma_black, info.luma_white, info.chroma_range
+        )
+    )
+    gamut = _literals(cm.rgb2rgb_matrix(col_spec, out_col_spec))
+    g2l, _ = _gamma_fns(col_spec, out_col_spec)
+
+    def kernel(ye, yo, u, v, out_ref):
+        # chroma rows double across the line pair IN VMEM (sublane
+        # broadcast+reshape) — the pixel-pair phase split stays in XLA
+        # exactly like the proven 4:2:2 layout
+        r2 = ye.shape[0]
+        rr = r2 // 2
+
+        def row_double(c):
+            cf = c[:].astype(jnp.float32)
+            return jnp.broadcast_to(cf[:, None, :], (rr, 2, half)).reshape(r2, half)
+
+        uf = row_double(u)
+        vf = row_double(v)
+        for phase, yref in enumerate((ye, yo)):
+            rgb = _decode_yuv(yref[:].astype(jnp.float32), uf, vf, col_fwd, gamut, g2l)
+            for c in range(3):
+                out_ref[c, phase] = rgb[c]
+            out_ref[3, phase] = jnp.ones_like(rgb[0])
+
+    r = rows_per_block if h2p % rows_per_block == 0 else 8
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(h2p // r,),
+        in_specs=[
+            pl.BlockSpec((2 * r, half), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * r, half), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, half), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, half), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (4, 2, 2 * r, half), lambda i: (0, 0, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((4, 2, hp, half), jnp.float32),
+        interpret=interpret,
+    )
+
+    def unpack(planes) -> jnp.ndarray:
+        if fmt_name == "nv12":
+            y, c = (pl_.astype(jnp.int32) for pl_ in planes)
+            u, v = c[:, 0::2], c[:, 1::2]
+        else:
+            y, u, v = (pl_.astype(jnp.int32) for pl_ in planes)
+        if h2p != h2:
+            y = jnp.pad(y, ((0, hp - height), (0, 0)))
+            u = jnp.pad(u, ((0, h2p - h2), (0, 0)))
+            v = jnp.pad(v, ((0, h2p - h2), (0, 0)))
+        phases = call(y[:, 0::2], y[:, 1::2], u, v)[:, :, :height, :]
+        spatial = phases.transpose(0, 2, 3, 1).reshape(4, height, p)
+        return spatial[:, :, :width]
+
+    return unpack
+
+
+@lru_cache(maxsize=None)
+def make_planar420_pack_rgba(
+    fmt_name: str,
+    width: int,
+    height: int,
+    out_col_spec: str = "709",
+    rows_per_block: int = 16,
+    interpret: bool | None = None,
+):
+    """Linear RGBA (4, H, W) -> 4:2:0 planes (yuv420p: y/u/v; nv12:
+    y + interleaved CbCr).  Chroma comes from even lines' even pixels
+    (yuv420p.ts:191-201); pitch padding packs black/chroma-null."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    from .formats import get_format
+
+    fmt = get_format(fmt_name)
+    info = fmt.INFO
+    p = fmt.pitch(width)
+    half = p // 2
+    assert height % 2 == 0, "4:2:0 kernels take even heights"
+    h2 = height // 2
+    h2p = -(-h2 // 8) * 8  # 8-aligned row blocks (see unpack)
+    cnull = 128 << (info.num_bits - 8)
+    code_mask = (1 << info.num_bits) - 1
+
+    col_bwd = _literals(
+        cm.rgb2ycbcr_matrix(
+            out_col_spec, info.num_bits, info.luma_black, info.luma_white, info.chroma_range
+        )
+    )
+    _, l2g = _gamma_fns(out_col_spec, out_col_spec)
+
+    hp = 2 * h2p
+
+    def kernel(in_ref, ye_ref, yo_ref, u_ref, v_ref):
+        # same pixel-pair layout as the 4:2:2 pack; chroma additionally
+        # takes only EVEN rows (in-VMEM sublane stride) — the reference
+        # writes chroma for l==0 of each line pair (yuv420p.ts:191-201)
+        lanes = jax.lax.broadcasted_iota(jnp.int32, ye_ref.shape, dimension=1)
+        codes = [
+            _encode_rgb(in_ref[0, ph], in_ref[1, ph], in_ref[2, ph], col_bwd, l2g, code_mask)
+            for ph in range(2)
+        ]
+        ye_valid = (lanes * 2) < width
+        yo_valid = (lanes * 2 + 1) < width
+        ye_ref[:] = jnp.where(ye_valid, codes[0][0], info.luma_black)
+        yo_ref[:] = jnp.where(yo_valid, codes[1][0], info.luma_black)
+
+        r2 = ye_ref.shape[0]
+        rr = r2 // 2
+        clanes = jax.lax.broadcasted_iota(jnp.int32, (rr, half), 1)
+        c_valid = clanes < ((width + 1) // 2)
+
+        def even_rows(x):
+            return x.reshape(rr, 2, half)[:, 0, :]
+
+        u_ref[:] = jnp.where(c_valid, even_rows(codes[0][1]), cnull)
+        v_ref[:] = jnp.where(c_valid, even_rows(codes[0][2]), cnull)
+
+    r = rows_per_block if h2p % rows_per_block == 0 else 8
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(h2p // r,),
+        in_specs=[
+            pl.BlockSpec(
+                (4, 2, 2 * r, half), lambda i: (0, 0, i, 0), memory_space=pltpu.VMEM
+            )
+        ],
+        out_specs=[
+            pl.BlockSpec((2 * r, half), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * r, half), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, half), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, half), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((hp, half), jnp.int32),
+            jax.ShapeDtypeStruct((hp, half), jnp.int32),
+            jax.ShapeDtypeStruct((h2p, half), jnp.int32),
+            jax.ShapeDtypeStruct((h2p, half), jnp.int32),
+        ],
+        interpret=interpret,
+    )
+
+    out_np_dtype = jnp.uint16 if info.num_bits > 8 else jnp.uint8
+
+    def pack(rgba: jnp.ndarray):
+        pad = p - width
+        if pad:
+            rgba = jnp.pad(rgba, ((0, 0), (0, 0), (0, pad)))
+        phases = rgba.reshape(4, height, half, 2).transpose(0, 3, 1, 2)
+        if h2p != h2:
+            phases = jnp.pad(phases, ((0, 0), (0, 0), (0, hp - height), (0, 0)))
+        ye, yo, u, v = call(phases)
+        ye, yo, u, v = ye[:height], yo[:height], u[:h2], v[:h2]
+        y = jnp.stack([ye, yo], axis=-1).reshape(height, p).astype(out_np_dtype)
+        if fmt_name == "nv12":
+            c = jnp.stack([u, v], axis=-1).reshape(h2, p).astype(out_np_dtype)
+            return [y, c]
+        return [y, u.astype(out_np_dtype), v.astype(out_np_dtype)]
+
+    return pack
+
+
 def supported_spec(spec) -> bool:
     """Which channel structures this fused kernel covers (the rest run
     on the XLA path).  v210 sources unpack fully opaque, so only the TOP

@@ -96,3 +96,52 @@ def test_channel_program_planar422_stages():
     b = make_channel_program(staged)({"layers": [{"src": src}]})
     for pa, pb in zip(a, b):
         assert np.asarray(pa).tobytes() == np.asarray(pb).tobytes()
+
+
+@pytest.mark.parametrize("fmt_name", ["yuv420p", "nv12"])
+@pytest.mark.parametrize("width,height", [(1920, 16), (720, 16), (100, 16)])
+def test_planar420_stage_roundtrip(fmt_name, width, height):
+    from phaneron_tpu.ops.pallas_kernels import (
+        make_planar420_pack_rgba,
+        make_planar420_unpack_rgba,
+    )
+
+    fmt = get_format(fmt_name)
+    src = [np.asarray(p) for p in fmt.fill_buf(width, height)]
+    unpack = make_planar420_unpack_rgba(fmt_name, width, height, interpret=True)
+    pack = make_planar420_pack_rgba(fmt_name, width, height, interpret=True)
+    outs = pack(unpack([jnp.asarray(p) for p in src]))
+    for a, b in zip(src, outs):
+        out = np.asarray(b)
+        assert out.dtype == a.dtype and out.shape == a.shape
+        assert out.tobytes() == a.tobytes()
+
+
+@pytest.mark.parametrize("fmt_name", ["yuv420p", "nv12"])
+def test_planar420_stage_matches_xla(fmt_name):
+    fmt = get_format(fmt_name)
+    w, h = 720, 16
+    src = [np.asarray(p) for p in fmt.fill_buf(w, h)]
+    loader = make_loader(fmt.INFO, "709", "709", "analytic")
+    xla = np.asarray(to_rgba(fmt, [jnp.asarray(p) for p in src], loader, w, h))
+    from phaneron_tpu.ops.pallas_kernels import make_planar420_unpack_rgba
+
+    pallas = np.asarray(
+        make_planar420_unpack_rgba(fmt_name, w, h, interpret=True)(
+            [jnp.asarray(p) for p in src]
+        )
+    )
+    assert np.abs(pallas - xla).max() <= 4e-5  # one LUT step (FMA formation)
+
+
+@pytest.mark.parametrize("fmt_name", ["yuv420p", "nv12"])
+def test_channel_program_planar420_stages(fmt_name):
+    w, h = 96, 32
+    fmt = get_format(fmt_name)
+    src = [np.asarray(p) for p in fmt.fill_buf(w, h)]
+    base = ChannelSpec(w, h, fmt_name, layers=(LayerSpec(fmt_name),))
+    staged = base._replace(pallas_stages=True)
+    a = make_channel_program(base)({"layers": [{"src": src}]})
+    b = make_channel_program(staged)({"layers": [{"src": src}]})
+    for pa, pb in zip(a, b):
+        assert np.asarray(pa).tobytes() == np.asarray(pb).tobytes()
