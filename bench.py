@@ -114,7 +114,12 @@ def main():
     t0 = time.perf_counter()
     jax.block_until_ready(step(uhd_src))
     log(f"UHD 4-layer compile+first-run: {time.perf_counter()-t0:.1f}s")
-    uhd4_ms, _ = chain_ms(step, uhd_src, n_small=4, n_large=24)
+    # tunnel noise is one-sided (stalls, never speedups): the min of two
+    # independent chain measurements estimates true device time
+    uhd4_ms = min(
+        chain_ms(step, uhd_src, n_small=4, n_large=24)[0],
+        chain_ms(step, uhd_src, n_small=4, n_large=24)[0],
+    )
     uhd4_fps = 1000.0 / uhd4_ms
     log(f"UHD 4-layer DVE+dissolve: {uhd4_ms:.3f} ms/frame -> {uhd4_fps:.0f} fps")
 
@@ -195,31 +200,34 @@ def main():
     # chains: each sample is an 8-frame chain's device time / 8, so the
     # tunnel's ~30 ms sync RTT amortises to <4 ms of noise per sample
     # (on a production host the sync is a PCIe event, not a WAN hop).
-    k_small, k_large = 4, 16
-    samples = []
+    def pipeline_percentiles(step, src, k_small, k_large, n_samples):
+        """Per-frame latency distribution: each sample differences two
+        chain lengths (cancels that sample's tunnel RTT rather than a
+        global estimate — the RTT itself jitters tens of ms), fetching a
+        scalar because block_until_ready can return before Pallas work
+        completes on this backend."""
 
-    def run_chain(k):
-        x = hd_src
-        t0 = time.perf_counter()
-        for _ in range(k):
-            x = hd_step(x)
-        # fetch, don't just block: block_until_ready can return before
-        # Pallas work completes on this backend (see chain_ms)
-        float(jnp.sum(x.astype(jnp.float32)))
-        return time.perf_counter() - t0
+        def run_chain(k):
+            x = src
+            t0 = time.perf_counter()
+            for _ in range(k):
+                x = step(x)
+            float(jnp.sum(x.astype(jnp.float32)))
+            return time.perf_counter() - t0
 
-    run_chain(k_large)  # warm
-    for _ in range(40):
-        # each sample differencing two chain lengths cancels that
-        # sample's tunnel RTT instead of a global estimate (the RTT
-        # itself jitters tens of ms run to run)
-        t_s = run_chain(k_small)
-        t_l = run_chain(k_large)
-        samples.append(max(t_l - t_s, 0.0) / (k_large - k_small) * 1e3)
-    pipe_p50 = float(np.percentile(samples, 50))
-    pipe_p99 = float(np.percentile(samples, 99))
+        run_chain(k_large)  # warm
+        samples = []
+        for _ in range(n_samples):
+            t_s = run_chain(k_small)
+            t_l = run_chain(k_large)
+            samples.append(max(t_l - t_s, 0.0) / (k_large - k_small) * 1e3)
+        return float(np.percentile(samples, 50)), float(np.percentile(samples, 99))
+
+    pipe_p50, pipe_p99 = pipeline_percentiles(hd_step, hd_src, 4, 16, 40)
     log(f"HD 4-layer pipeline latency: p50 {pipe_p50:.2f} ms  p99 {pipe_p99:.2f} ms "
         f"(per-sample RTT-cancelled chain pairs)")
+    uhd_p50, uhd_p99 = pipeline_percentiles(step, uhd_src, 2, 6, 20)
+    log(f"UHD 4-layer pipeline latency: p50 {uhd_p50:.2f} ms  p99 {uhd_p99:.2f} ms")
 
     print(
         json.dumps(
@@ -238,6 +246,8 @@ def main():
                     "hd1080p50_passthrough_channels_per_chip": int(20.0 / hdf_ms),
                     "hd_4layer_pipeline_p50_ms": round(pipe_p50, 2),
                     "hd_4layer_pipeline_p99_ms": round(pipe_p99, 2),
+                    "uhd_4layer_pipeline_p50_ms": round(uhd_p50, 2),
+                    "uhd_4layer_pipeline_p99_ms": round(uhd_p99, 2),
                     "rotation_gather_1080p_ms": round(rot_ms, 2),
                     "yadif_1080i_field_ms": round(deint_ms, 3),
                     "scaler_720_1080_pair_ms": round(scale_ms, 3),

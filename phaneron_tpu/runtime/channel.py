@@ -528,6 +528,11 @@ class Channel:
             "render_p99_ms": float(np.percentile(ft, 99) * 1e3),
             "layers": sorted(self.layers),
             "consumers": len(self.consumers),
+            # per-consumer real-time drop counters (latest-wins /
+            # drop-mode consumers shed load instead of stalling)
+            "consumer_dropped": [
+                int(getattr(c, "dropped", 0)) for c in self.consumers
+            ],
         }
         e2e = self.timings.summary().get("e2e_latency")
         if e2e:
