@@ -91,3 +91,38 @@ def test_heterogeneous_channel_structures_tick_concurrently():
         assert s2.transition == "dissolve" and s2.has_transform
 
     run(main())
+
+
+def test_route_between_different_geometries():
+    """ROUTE a channel into a differently-sized channel: the forked RGBA
+    tap stretch-fits the destination (combiner output is whole-frame,
+    routeProducer.ts:51-132 + the scaler leg)."""
+
+    async def main():
+        from phaneron_tpu.config import VideoFormat
+        from phaneron_tpu.producer.route import make_route_factory
+
+        BIG = VideoFormat("big", 1, 192, 128, 192, 50, 1, 48000, 2)
+        channels = {}
+        reg = ProducerRegistry(
+            [make_route_factory(lambda n: channels.get(n)), create_test_pattern_producer]
+        )
+        ch1 = Channel(1, TINY, reg)
+        ch2 = Channel(2, BIG, reg)
+        channels.update({1: ch1, 2: ch2})
+        assert await ch1.load_source(1, LoadParams("BARS"))
+        ch1.play(1)
+        assert await ch2.load_source(1, LoadParams("route://1"))
+        ch2.play(1)
+        out = None
+        for _ in range(4):
+            await ch1.render_frame()
+            out = await ch2.render_frame()
+        plane = np.asarray(out.packed[0])
+        assert plane.shape[0] == 128  # destination geometry
+        from phaneron_tpu.ops.formats import get_format
+
+        y, _, _ = get_format("v210").unpack_codes([plane], 192, 128)
+        assert np.asarray(y).max() > 64  # routed bars, stretch-fit
+
+    run(main())
