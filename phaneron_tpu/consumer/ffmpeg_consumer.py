@@ -98,8 +98,12 @@ class FFmpegConsumer(Consumer):
         if len(batch) == 1:
             stacks = [np.asarray(batch[0][i])[None] for i in range(n_planes)]
         else:
+            # power-of-two pad: one stack compile per size class (see
+            # file_consumer._fetch_loop)
+            size = 1 << (len(batch) - 1).bit_length()
+            padded = batch + [batch[-1]] * (size - len(batch))
             stacks = [
-                np.asarray(jnp.stack([frame[i] for frame in batch]))
+                np.asarray(jnp.stack([frame[i] for frame in padded]))
                 for i in range(n_planes)
             ]
         out = []

@@ -167,14 +167,20 @@ class FileConsumer(Consumer):
             if len(batch) == 1:
                 datas = [b"".join(np.asarray(p).tobytes() for p in batch[0][0])]
             else:
+                # pad to a power-of-two batch so the device-side stack
+                # compiles once per size class (a fresh shape means a
+                # multi-second remote compile the first time it occurs)
+                n = len(batch)
+                size = 1 << (n - 1).bit_length()
+                padded = batch + [batch[-1]] * (size - n)
                 n_planes = len(batch[0][0])
                 stacks = [
-                    np.asarray(jnp.stack([frame[0][i] for frame in batch]))
+                    np.asarray(jnp.stack([frame[0][i] for frame in padded]))
                     for i in range(n_planes)
                 ]
                 datas = [
                     b"".join(stacks[i][k].tobytes() for i in range(n_planes))
-                    for k in range(len(batch))
+                    for k in range(n)
                 ]
             for data in datas:
                 while not self._ring.try_write(data):

@@ -105,11 +105,7 @@ def _unpack(fmt_name: str, planes, spec: ChannelSpec, size=None):
     else:
         loader = _loader(fmt_name, spec)
         rgba = fio.to_rgba(fmt, planes, loader, w, h)
-    if (w, h) != (spec.width, spec.height):
-        from ..ops.geometry import resize_frame
-
-        rgba = resize_frame(rgba, spec.height, spec.width)
-    return rgba
+    return _fit_channel(rgba, spec)
 
 
 @lru_cache(maxsize=None)

@@ -144,7 +144,9 @@ class Channel:
     async def _restart_layer(self, num: int, params, count: int) -> None:
         await asyncio.sleep(0.2 * (count + 1))
         lay = self.layers.get(num)
-        if lay is None:
+        if lay is None or getattr(lay, "_restart_params", None) is not params:
+            # the operator loaded something else while we backed off:
+            # this retry chain is stale — never stomp the new source
             return
         print(
             f"channel {self.chan_id}: restarting failed source on layer {num} "
