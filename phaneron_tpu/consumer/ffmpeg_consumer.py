@@ -95,24 +95,29 @@ class FFmpegConsumer(Consumer):
 
         w = self.fmt.width
         n_planes = len(batch[0])
-        if len(batch) == 1:
-            stacks = [np.asarray(batch[0][i])[None] for i in range(n_planes)]
-        else:
-            # power-of-two pad: one stack compile per size class (see
-            # file_consumer._fetch_loop)
-            size = 1 << (len(batch) - 1).bit_length()
-            padded = batch + [batch[-1]] * (size - len(batch))
-            stacks = [
-                np.asarray(jnp.stack([frame[i] for frame in padded]))
-                for i in range(n_planes)
-            ]
         out = []
-        for k in range(len(batch)):
-            parts = []
-            for i in range(n_planes):
-                cols = w if i == 0 else (w + 1) // 2
-                parts.append(np.ascontiguousarray(stacks[i][k][:, :cols]).tobytes())
-            out.append(b"".join(parts))
+        pos = 0
+        # power-of-two sub-batches: bounded compile classes, no padded
+        # duplicate bytes across the host link (see file_consumer)
+        while pos < len(batch):
+            n = 1 << (len(batch) - pos).bit_length() - 1
+            part = batch[pos : pos + n]
+            pos += n
+            if n == 1:
+                stacks = [np.asarray(part[0][i])[None] for i in range(n_planes)]
+            else:
+                stacks = [
+                    np.asarray(jnp.stack([frame[i] for frame in part]))
+                    for i in range(n_planes)
+                ]
+            for k in range(n):
+                parts = []
+                for i in range(n_planes):
+                    cols = w if i == 0 else (w + 1) // 2
+                    parts.append(
+                        np.ascontiguousarray(stacks[i][k][:, :cols]).tobytes()
+                    )
+                out.append(b"".join(parts))
         return out
 
     async def _drain(self) -> None:

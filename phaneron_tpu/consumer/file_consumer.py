@@ -164,29 +164,32 @@ class FileConsumer(Consumer):
                     stopping = True
                     break
                 batch.append(nxt)
-            if len(batch) == 1:
-                datas = [b"".join(np.asarray(p).tobytes() for p in batch[0][0])]
-            else:
-                # pad to a power-of-two batch so the device-side stack
-                # compiles once per size class (a fresh shape means a
-                # multi-second remote compile the first time it occurs)
-                n = len(batch)
-                size = 1 << (n - 1).bit_length()
-                padded = batch + [batch[-1]] * (size - n)
-                n_planes = len(batch[0][0])
-                stacks = [
-                    np.asarray(jnp.stack([frame[0][i] for frame in padded]))
-                    for i in range(n_planes)
-                ]
-                datas = [
-                    b"".join(stacks[i][k].tobytes() for i in range(n_planes))
-                    for k in range(n)
-                ]
-            for data in datas:
-                while not self._ring.try_write(data):
-                    if self._stop.is_set():
-                        return
-                    self._stop.wait(0.001)
+            # split into power-of-two sub-batches: the device-side stack
+            # compiles once per size class (a fresh shape is a
+            # multi-second remote compile) and, unlike padding, no
+            # duplicate frame bytes cross the host link
+            pos = 0
+            while pos < len(batch):
+                n = 1 << (len(batch) - pos).bit_length() - 1
+                part = batch[pos : pos + n]
+                pos += n
+                if n == 1:
+                    datas = [b"".join(np.asarray(p).tobytes() for p in part[0][0])]
+                else:
+                    n_planes = len(part[0][0])
+                    stacks = [
+                        np.asarray(jnp.stack([frame[0][i] for frame in part]))
+                        for i in range(n_planes)
+                    ]
+                    datas = [
+                        b"".join(stacks[i][k].tobytes() for i in range(n_planes))
+                        for k in range(n)
+                    ]
+                for data in datas:
+                    while not self._ring.try_write(data):
+                        if self._stop.is_set():
+                            return
+                        self._stop.wait(0.001)
 
     def _write_loop(self) -> None:
         """Staging ring -> disk (+ WAV audio, kept in frame order)."""
