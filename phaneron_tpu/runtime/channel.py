@@ -222,20 +222,29 @@ class Channel:
             deinterlace=deint,
         )
         predicted = [base, base._replace(has_transform=True)]
-        if self.use_pallas and self.fmt.width % 128 == 0 and self.fmt.height % 8 == 0:
+        warp_ok = (
+            self.use_pallas and self.fmt.width % 128 == 0 and self.fmt.height % 8 == 0
+        )
+        if warp_ok:
             # MIXER FILL engages the Pallas warp: precompile the common
             # scale buckets so live DVE doesn't hit a first-compile stall
             predicted += [
                 base._replace(has_transform=True, warp_bucket=b) for b in (0, 1)
             ]
         if transition is not None and transition.type in ("dissolve", "wipe"):
-            predicted.append(
-                base._replace(
-                    transition=transition.type,
-                    src_b_format=None if deint else producer.pix_format,
-                    mask_format="v210" if transition.type == "wipe" else None,
-                )
+            trans = base._replace(
+                transition=transition.type,
+                src_b_format=None if deint else producer.pix_format,
+                mask_format="v210" if transition.type == "wipe" else None,
             )
+            predicted.append(trans)
+            if warp_ok and transition.type == "dissolve":
+                # a dissolve on a layer with live DVE runs the fused
+                # pair kernel — prewarm its common buckets too
+                predicted += [
+                    trans._replace(has_transform=True, warp_bucket=b)
+                    for b in (0, 1)
+                ]
         others = tuple(
             s for num, s in (self._last_layer_specs or {}).items() if num != layer_num
         )
