@@ -165,6 +165,9 @@ def _pick_warp(lspec: LayerSpec, spec: ChannelSpec):
 
 
 def _use_pallas_warp(lspec: LayerSpec, spec: ChannelSpec) -> bool:
+    from ..ops.pallas_warp import warp_fits
+
+    n_mat = 1 if lspec.warp_same_mat else 2
     return (
         ENABLE_PALLAS_WARP
         and spec.pallas_stages
@@ -172,6 +175,7 @@ def _use_pallas_warp(lspec: LayerSpec, spec: ChannelSpec) -> bool:
         and lspec.warp_bucket >= 0
         and spec.height % 8 == 0
         and spec.width % 128 == 0
+        and warp_fits(spec.height, spec.width, lspec.warp_bucket, n_mat)
     )
 
 

@@ -52,6 +52,12 @@ def pack_rgba_codes(codes: jnp.ndarray, width: int, height: int):
     return [jnp.stack([codes[c] for c in inv], axis=-1).astype(jnp.uint8)]
 
 
+def black_buf(width: int, height: int) -> list[np.ndarray]:
+    """Zeros ARE black for RGB formats (transparent black, the reference
+    Black generator's zeroed buffer, blackSilence.ts:109-153)."""
+    return [np.zeros((height, width, 4), dtype=np.uint8)]
+
+
 def fill_buf(width: int, height: int) -> list[np.ndarray]:
     px = np.zeros((height, width, 4), dtype=np.uint8)
     r, g, b, a = 16, 32, 64, 255

@@ -62,5 +62,9 @@ def pack_codes(y, cb, cr, width: int, height: int):
     return [yp, c]
 
 
+def black_buf(width: int, height: int) -> list[np.ndarray]:
+    return planar.black_420(INFO, np.uint8, width, height, interleaved=True)
+
+
 def fill_buf(width: int, height: int) -> list[np.ndarray]:
     return planar.fill_420(INFO, np.uint8, width, height, interleaved=True)

@@ -73,6 +73,29 @@ def pack_420(info: FormatInfo, dtype, y, cb, cr, width: int, height: int):
     return [yp, up, vp]
 
 
+# ------------------------------------------------------------ black fills
+
+
+def black_422(info: FormatInfo, np_dtype, width: int, height: int):
+    """True-black planes: luma at luma_black, chroma at null (zeros would
+    decode to a sub-black green excursion — blackSilence.ts pacing frames
+    must be BLACK, not all-zero codes)."""
+    p = pitch(width)
+    y = np.full((height, p), info.luma_black, dtype=np_dtype)
+    c = np.full((height, p // 2), chroma_null(info), dtype=np_dtype)
+    return [y, c, c.copy()]
+
+
+def black_420(info: FormatInfo, np_dtype, width: int, height: int, interleaved: bool):
+    p = pitch(width)
+    h2 = (height + 1) // 2
+    y = np.full((height, p), info.luma_black, dtype=np_dtype)
+    if interleaved:
+        return [y, np.full((h2, p), chroma_null(info), dtype=np_dtype)]
+    c = np.full((h2, p // 2), chroma_null(info), dtype=np_dtype)
+    return [y, c, c.copy()]
+
+
 # ------------------------------------------------------- test-ramp fills
 
 

@@ -59,6 +59,12 @@ def pack_rgba_codes(codes: jnp.ndarray, width: int, height: int):
     return [jnp.stack([codes[c] for c in inv], axis=-1).astype(jnp.uint8)]
 
 
+def black_buf(width: int, height: int) -> list[np.ndarray]:
+    """Zeros ARE black for RGB formats (transparent black, the reference
+    Black generator's zeroed buffer, blackSilence.ts:109-153)."""
+    return [np.zeros((height, width, 4), dtype=np.uint8)]
+
+
 def fill_buf(width: int, height: int) -> list[np.ndarray]:
     """Constant R=16 G=32 B=64 A=255 field (rgba8.ts:114-133)."""
     px = np.zeros((height, width, 4), dtype=np.uint8)

@@ -109,6 +109,26 @@ def pack_codes(
     return [words]
 
 
+def black_buf(width: int, height: int) -> list[np.ndarray]:
+    """True-black v210 words (Y=64, Cb=Cr=512 in every sample slot; zero
+    pitch-pad words).  All-zero words would decode sub-black with extreme
+    chroma — pacing frames must be black (blackSilence.ts semantics)."""
+    p = pitch(width)
+    yp = np.zeros((height, p), dtype=np.uint32)
+    yp[:, :width] = 64
+    cp = np.zeros((height, p // 2), dtype=np.uint32)
+    cp[:, : (width + 1) // 2] = 512
+    yg = yp.reshape(height, -1, 6)
+    cbg = cp.reshape(height, -1, 3)
+    crg = cbg  # Cb == Cr == 512 for black
+    w0 = (crg[..., 0] << 20) | (yg[..., 0] << 10) | cbg[..., 0]
+    w1 = (yg[..., 2] << 20) | (cbg[..., 1] << 10) | yg[..., 1]
+    w2 = (cbg[..., 2] << 20) | (yg[..., 3] << 10) | crg[..., 1]
+    w3 = (yg[..., 5] << 20) | (crg[..., 2] << 10) | yg[..., 4]
+    words = np.stack([w0, w1, w2, w3], axis=-1).reshape(height, -1)
+    return [words]
+
+
 def fill_buf(width: int, height: int) -> list[np.ndarray]:
     """Deterministic synthetic ramp, byte-identical to the reference's
     fillBuf (v210.ts:206-236): Y ramps 64..940 per 6-pixel group across

@@ -58,5 +58,9 @@ def pack_codes(y, cb, cr, width: int, height: int):
     return planar.pack_420(INFO, np.uint8, y, cb, cr, width, height)
 
 
+def black_buf(width: int, height: int) -> list[np.ndarray]:
+    return planar.black_420(INFO, np.uint8, width, height, interleaved=False)
+
+
 def fill_buf(width: int, height: int) -> list[np.ndarray]:
     return planar.fill_420(INFO, np.uint8, width, height, interleaved=False)

@@ -56,5 +56,9 @@ def pack_codes(y, cb, cr, width: int, height: int):
     return planar.pack_422(INFO, np.uint8, y, cb, cr, width, height)
 
 
+def black_buf(width: int, height: int) -> list[np.ndarray]:
+    return planar.black_422(INFO, np.uint8, width, height)
+
+
 def fill_buf(width: int, height: int) -> list[np.ndarray]:
     return planar.fill_422(INFO, np.uint8, width, height)

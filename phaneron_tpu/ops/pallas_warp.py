@@ -47,7 +47,13 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["make_warp_program", "make_warp_pair_program", "bucket_of", "BUCKET_BOUNDS"]
+__all__ = [
+    "make_warp_program",
+    "make_warp_pair_program",
+    "bucket_of",
+    "warp_fits",
+    "BUCKET_BOUNDS",
+]
 
 COL_CHUNK = 128
 # bucket -> (max |m00|/|m11| covered, preferred output rows per block).
@@ -80,7 +86,7 @@ def _config(height: int, width: int, bucket: int, n_mat: int) -> _Cfg:
     win_c = min(_ceil_to(bound * (COL_CHUNK - 1) + 2 + (COL_CHUNK - 1), 128), width)
     n_chunks = width // COL_CHUNK
 
-    def plan(rpb_pref: int) -> tuple[_Cfg, int]:
+    def plan(rpb_pref: int, persist: bool) -> tuple[_Cfg, int]:
         rpb = _rows_per_block(height, rpb_pref)
         # taps floor(py), floor(py)+1 over a block spanning bound*(rpb-1),
         # plus 8-row DMA alignment slack and one row of floor safety
@@ -90,18 +96,39 @@ def _config(height: int, width: int, bucket: int, n_mat: int) -> _Cfg:
         rows = 2 * 4 * rpb * width * 2
         out = 2 * 4 * rpb * width * 4  # double-buffered output block
         flat = 2 * 4 * rpb * win_c * 2
-        cw = n_mat * n_chunks * 2 * win_c * COL_CHUNK * 2  # persisted
-        return _Cfg(rpb, win_r, win_c, True), win + win2 + rows + out + flat + cw
+        cw_slots = n_mat * n_chunks if persist else 1
+        cw = cw_slots * 2 * win_c * COL_CHUNK * 2
+        return _Cfg(rpb, win_r, win_c, persist), win + win2 + rows + out + flat + cw
 
     # biggest block size whose persisted-weight layout fits VMEM wins
     # (fewer grid steps -> less fixed per-block cost); if none fits,
-    # rebuild weights per block with the preferred block size
+    # rebuild weights per block, shrinking the block until the scratch
+    # fits (8K × strong-minification buckets overflow at rpb 16+); a
+    # geometry that can never fit raises, and callers fall back to the
+    # XLA gather via warp_fits()
     for rpb_pref in (preferred, 24, 16, 8):
-        cfg, bytes_ = plan(rpb_pref)
+        cfg, bytes_ = plan(rpb_pref, True)
         if bytes_ <= VMEM_BUDGET:
             return cfg
-    cfg, _ = plan(preferred)
-    return cfg._replace(persist_cw=False)
+    for rpb_pref in (preferred, 24, 16, 8, 4, 2, 1):
+        cfg, bytes_ = plan(rpb_pref, False)
+        if bytes_ <= VMEM_BUDGET:
+            return cfg
+    raise ValueError(
+        f"warp scratch cannot fit VMEM: {height}x{width} bucket {bucket} n_mat {n_mat}"
+    )
+
+
+def warp_fits(height: int, width: int, bucket: int, n_mat: int = 1) -> bool:
+    """True when the warp kernel's scratch fits the VMEM budget for this
+    geometry/bucket — callers gate Pallas-vs-XLA-gather on it."""
+    if bucket < 0:
+        return False
+    try:
+        _config(height, width, bucket, n_mat)
+        return True
+    except ValueError:
+        return False
 
 
 def bucket_of(*mats: np.ndarray) -> int:

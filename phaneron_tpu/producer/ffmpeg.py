@@ -273,11 +273,15 @@ class FFmpegProducer(Producer):
                 ts += 1
             if self.proc is None:  # audio-only: pace black at channel rate
                 w, h = self.width, self.height
-                import jax.numpy as jnp
+                import jax
 
+                from ..ops.formats import get_format
+
+                # true-black codes, NOT zeros: zero YUV decodes below
+                # black with an extreme Cb/Cr excursion (visible green)
                 black = [
-                    jnp.zeros(shape, dtype)
-                    for shape, dtype in self._plane_shapes
+                    jax.device_put(p)
+                    for p in get_format(self.pix_format).black_buf(w, h)
                 ]
                 while not self.released and (length is None or ts < length):
                     if self.aproc is not None and self.aproc.returncode is not None:

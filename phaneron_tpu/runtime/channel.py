@@ -104,6 +104,9 @@ class Channel:
         self.running = False
         self.timestamp = 0
         self._task: Optional[asyncio.Task] = None
+        # structural specs that have dispatched at least once: warm specs
+        # dispatch inline; only first-seen structures hop to a thread
+        self._warm_specs: set = set()
         # per-frame latency stats (SURVEY.md §5.1 first-class metric)
         self.frame_times: list[float] = []
         self._last_layer_specs: dict[int, Any] = {}
@@ -409,10 +412,17 @@ class Channel:
             emit_rgba=self._needs_rgba(),
             pallas_stages=self.use_pallas,
         )
-        # dispatch on a worker thread: a structural change can trigger an
-        # XLA compile here, which must stall only this channel — never
-        # the event loop (AMCP/OSC stay responsive; other channels tick)
-        packed, rgba = await asyncio.to_thread(self._dispatch, spec, contribs)
+        # A structural change can trigger an XLA compile, which must
+        # stall only this channel — never the event loop (AMCP/OSC stay
+        # responsive; other channels tick).  Once a spec has dispatched
+        # successfully it is warm: jitted dispatch is async and cheap, so
+        # warm ticks run inline — no per-frame thread hand-off jitter
+        # (4x50 Hz channels = 200 hops/s on one core otherwise).
+        if spec in self._warm_specs:
+            packed, rgba = self._dispatch(spec, contribs)
+        else:
+            packed, rgba = await asyncio.to_thread(self._dispatch, spec, contribs)
+            self._warm_specs.add(spec)
 
         audio = (
             amix([c.audio for c in contribs])

@@ -442,8 +442,10 @@ class Layer:
             stamp = self.cur.last.loadstamp if self.cur and self.cur.last else None
             return LayerContribution(spec, params, audio, stamp)
 
-        # ------- steady state: single source
-        if self.cur.ended and self.cur.frames_seen > 0 and not getattr(self.cur, "_end_fired", False):
+        # ------- steady state: single source.  END fires on natural end
+        # (frames seen) AND on a producer that failed before its first
+        # frame — the restart chain must engage either way
+        if self.cur.ended and (self.cur.frames_seen > 0 or self.cur.failed) and not getattr(self.cur, "_end_fired", False):
             self.cur._end_fired = True
             self._fire_end()
             if self.auto_play and self.next is not None:

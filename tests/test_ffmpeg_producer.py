@@ -38,10 +38,29 @@ import sys, numpy as np
 args = sys.argv
 out = sys.stdout.buffer
 if "pipe:0" in args:
-    # encode-consumer mode: count rawvideo bytes from stdin
+    # encode-consumer mode: count rawvideo bytes from stdin and audio
+    # PCM bytes from the second (fd-passed) input
+    import os, threading
+    afd = None
+    for a in args:
+        if a.startswith("pipe:") and a != "pipe:0":
+            afd = int(a.split(":")[1])
+    acount = [0]
+    def read_aud():
+        while afd is not None:
+            try:
+                b = os.read(afd, 65536)
+            except OSError:
+                break
+            if not b:
+                break
+            acount[0] += len(b)
+    t = threading.Thread(target=read_aud)
+    t.start()
     data = sys.stdin.buffer.read()
+    t.join(timeout=2)
     with open(args[-1], "wb") as f:
-        f.write(b"ENCODED:%d" % len(data))
+        f.write(b"ENCODED:%d:%d" % (len(data), acount[0]))
 elif "f32le" in args:
     assert "-filter_complex" in args, "expected amerge graph for 2 mono streams"
     fc = args[args.index("-filter_complex") + 1]
@@ -147,10 +166,20 @@ def test_audio_only_media_renders_black_with_sound(stub_ffmpeg, monkeypatch):
         ch = Channel(1, TINY, ProducerRegistry([ff.create_ffmpeg_producer]))
         assert await ch.load_source(1, LoadParams("song.wav"))
         ch.play(1)
+        from phaneron_tpu.ops.formats import get_format
+
+        v210 = get_format("v210")
         rms = []
         for _ in range(6):
             f = await ch.render_frame()
             rms.append(float(np.sqrt(np.mean(np.square(f.audio)))))
+            # the pacing frame must be TRUE black (luma 64 / chroma 512
+            # after the v210 repack), not the dark green that all-zero
+            # source codes would decode to
+            y, cb, cr = v210.unpack_codes([np.asarray(f.packed[0])], 96, 64)
+            assert int(np.asarray(y).min()) == 64 and int(np.asarray(y).max()) == 64
+            assert int(np.asarray(cb).min()) == 512 and int(np.asarray(cb).max()) == 512
+            assert int(np.asarray(cr).min()) == 512 and int(np.asarray(cr).max()) == 512
         assert max(rms) > 0.2
         ch.layer(1).clear()
 
@@ -184,6 +213,54 @@ def test_ffmpeg_encode_consumer(stub_ffmpeg, tmp_path):
         body = out.read_bytes()
         assert body.startswith(b"ENCODED:")
         # 3 frames of unpadded yuv422p10le at 96x64 = 3 * (96+48+48)*2*64
-        assert int(body.split(b":")[1]) == 3 * (96 + 48 + 48) * 2 * 64
+        parts = body.split(b":")
+        assert int(parts[1]) == 3 * (96 + 48 + 48) * 2 * 64
+        # audio piped to the second input: 3 frames x 960 samples x 2 ch f32
+        assert int(parts[2]) == 3 * 960 * 2 * 4
+
+    run(main())
+
+
+def test_dead_encoder_does_not_stall_delivery(tmp_path, monkeypatch):
+    """An encoder that dies mid-recording must not wedge deliver():
+    the consumer flags the failure and sheds frames instead of blocking
+    forever on its bounded queue (recording mode)."""
+    import os
+    import stat
+    import sys as _sys
+
+    bindir = tmp_path / "bin"
+    bindir.mkdir()
+    dying = f"""#!{_sys.executable}
+import sys
+sys.stdin.buffer.read(1024)  # accept a token amount, then die
+"""
+    p = bindir / "ffmpeg"
+    p.write_text(dying)
+    p.chmod(p.stat().st_mode | stat.S_IEXEC)
+    monkeypatch.setenv("PATH", f"{bindir}:{os.environ['PATH']}")
+
+    async def main():
+        import asyncio
+        import time
+
+        import jax.numpy as jnp
+
+        from phaneron_tpu.consumer.consumer import ChannelFrame
+        from phaneron_tpu.consumer.ffmpeg_consumer import FFmpegConsumer
+
+        cons = FFmpegConsumer({"path": str(tmp_path / "rec.nut"), "audio": False})
+        await cons.initialise(TINY)
+        rgba = jnp.zeros((4, TINY.height, TINY.width), jnp.float32)
+        aud = np.zeros((2, TINY.samples_per_frame), np.float32)
+        t0 = time.monotonic()
+        for i in range(24):
+            frame = ChannelFrame(i, None, rgba, aud, TINY.width, TINY.height)
+            await asyncio.wait_for(cons.deliver(frame), timeout=5)
+        # 24 frames through a 4-slot queue against a dead encoder: only
+        # possible when the failure flag sheds instead of blocking
+        assert time.monotonic() - t0 < 5
+        cons.release()
+        await asyncio.sleep(0.1)
 
     run(main())

@@ -137,3 +137,32 @@ def test_channel_program_uses_pair_kernel():
     ya, _, _ = v210.unpack_codes([jnp.asarray(a)], w, h)
     yb, _, _ = v210.unpack_codes([jnp.asarray(b)], w, h)
     assert np.abs(np.asarray(ya) - np.asarray(yb)).max() <= 1
+
+
+def test_vmem_budget_all_formats_all_buckets():
+    """Every served geometry x bucket must yield a warp config whose
+    scratch fits the VMEM budget (8K x strong-minification used to
+    overflow in the non-persistent fallback), or be reported unfit so
+    the pipeline falls back to the XLA gather."""
+    from phaneron_tpu.ops.pallas_warp import (
+        BUCKET_BOUNDS,
+        VMEM_BUDGET,
+        _config,
+        warp_fits,
+    )
+
+    for h, w in ((720, 1280), (1080, 1920), (2160, 3840), (4320, 7680)):
+        for bucket in range(len(BUCKET_BOUNDS)):
+            for n_mat in (1, 2):
+                assert warp_fits(h, w, bucket, n_mat), (h, w, bucket, n_mat)
+                cfg = _config(h, w, bucket, n_mat)
+                n_chunks = w // 128
+                win = 4 * cfg.win_r * w * 4
+                win2 = 4 * 2 * cfg.win_r * w * 2
+                rows = 2 * 4 * cfg.rpb * w * 2
+                out = 2 * 4 * cfg.rpb * w * 4
+                flat = 2 * 4 * cfg.rpb * cfg.win_c * 2
+                slots = n_mat * n_chunks if cfg.persist_cw else 1
+                cw = slots * 2 * cfg.win_c * 128 * 2
+                assert win + win2 + rows + out + flat + cw <= VMEM_BUDGET
+    assert not warp_fits(64, 256, -1)

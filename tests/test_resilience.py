@@ -81,6 +81,43 @@ def test_consumer_error_does_not_stop_channel():
     run(main())
 
 
+def test_zero_frame_failure_restarts():
+    """A producer that loads OK but dies BEFORE its first frame must
+    still fire the end event and engage the restart chain (the
+    frames_seen>0 guard used to swallow this case)."""
+
+    async def main():
+        creations = {"n": 0}
+
+        def flaky_factory(source_id, params, fmt):
+            if params.url != "INSTAFAIL":
+                from phaneron_tpu.producer.producer import InvalidProducerError
+
+                raise InvalidProducerError("no")
+            prod = create_test_pattern_producer(source_id, LoadParams("BARS"), fmt)
+            creations["n"] += 1
+            if creations["n"] == 1:
+                # first incarnation crashes on the very first pull
+                async def gen():
+                    raise RuntimeError("died before first frame")
+                    yield  # pragma: no cover
+
+                prod.video_stream = lambda: from_generator(gen)
+            return prod
+
+        ch = Channel(1, TINY, ProducerRegistry([flaky_factory]))
+        assert await ch.load_source(1, LoadParams("INSTAFAIL"))
+        ch.play(1)
+        for _ in range(60):
+            await ch.render_frame()
+            await asyncio.sleep(0.01)
+            if creations["n"] >= 2:
+                break
+        assert creations["n"] >= 2, "zero-frame failure never restarted"
+
+    run(main())
+
+
 def test_failed_producer_restarts_with_backoff():
     """A producer that crashes mid-stream is reloaded with the same
     LoadParams (bounded attempts) — elastic recovery on top of the

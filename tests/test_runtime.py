@@ -316,3 +316,39 @@ def test_dissolve_audio_is_crossfade_not_duck():
             assert abs(20 * np.log10(rms / ref_rms)) < 1.0
 
     run(main())
+
+
+def test_warm_spec_dispatch_runs_inline():
+    """First dispatch of a structure hops to a worker thread (compile
+    isolation); warm ticks dispatch inline — no per-frame thread
+    hand-off on the hot path."""
+
+    async def main():
+        import threading
+
+        ch = Channel(1, TINY, ProducerRegistry([create_test_pattern_producer]))
+        loop_thread = threading.get_ident()
+        on_loop = []
+        orig = ch._dispatch
+
+        def record(spec, contribs):
+            on_loop.append(threading.get_ident() == loop_thread)
+            return orig(spec, contribs)
+
+        ch._dispatch = record
+        assert await ch.load_source(1, LoadParams("BARS"))
+        ch.play(1)
+        for _ in range(4):
+            await ch.render_frame()
+        assert on_loop[0] is False  # cold structure: off the event loop
+        assert all(on_loop[1:])  # warm structure: inline
+        # a structural change (new layer) goes back to the thread once
+        assert await ch.load_source(2, LoadParams("RAMP"))
+        ch.play(2)
+        n = len(on_loop)
+        for _ in range(3):
+            await ch.render_frame()
+        assert on_loop[n] is False
+        assert all(on_loop[n + 1 :])
+
+    run(main())
