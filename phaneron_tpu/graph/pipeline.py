@@ -175,7 +175,13 @@ def _use_pallas_warp(lspec: LayerSpec, spec: ChannelSpec) -> bool:
         and lspec.warp_bucket >= 0
         and spec.height % 8 == 0
         and spec.width % 128 == 0
-        and warp_fits(spec.height, spec.width, lspec.warp_bucket, n_mat)
+        and warp_fits(
+            spec.height,
+            spec.width,
+            lspec.warp_bucket,
+            n_mat,
+            with_mask=lspec.transition == "wipe",
+        )
     )
 
 
@@ -195,6 +201,21 @@ def _process_layer(lspec: LayerSpec, lparams: dict, spec: ChannelSpec) -> jnp.nd
         )
         mat = lparams["matrix"]
         return pair(rgba, rgba_b, mat, lparams.get("matrix_b", mat), lparams["mix"])
+
+    if lspec.transition == "wipe" and lspec.has_transform and _use_pallas_warp(
+        lspec, spec
+    ):
+        # fused pair with per-pixel mask: wipe+DVE at dissolve cost
+        from ..ops.pallas_warp import make_wipe_pair_program
+
+        fmt_b = lspec.src_b_format or lspec.src_format
+        rgba_b = _layer_source(lspec, fmt_b, lparams, "src_b", spec)
+        mask = _unpack(lspec.mask_format or lspec.src_format, lparams["mask"], spec)
+        pair = make_wipe_pair_program(
+            spec.height, spec.width, lspec.warp_bucket, lspec.warp_same_mat
+        )
+        mat = lparams["matrix"]
+        return pair(rgba, rgba_b, mat, lparams.get("matrix_b", mat), mask[0])
 
     if lspec.has_transform:
         warp = _pick_warp(lspec, spec)

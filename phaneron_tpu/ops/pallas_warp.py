@@ -25,6 +25,10 @@ whole separable bilinear warp in one pass:
   launch instead of two warps plus an elementwise mix over full frames
   (transition.ts:60-65).  Source b's window DMA overlaps source a's
   column pass.  Identical arithmetic to the two-kernel formulation.
+- wipe transitions run the SAME fused pair with a per-pixel mask block
+  in place of the scalar mix: out = warp(a)*(1-m) + warp(b)*m
+  (transition.ts:66-74) — a wipe with transform costs one kernel, the
+  same as a dissolve, instead of two warps + an XLA mask blend.
 
 The row/column window sizes are STATIC per compiled program, selected
 host-side from the transform matrix via scale BUCKETS (bound 1x / 2x /
@@ -50,6 +54,7 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = [
     "make_warp_program",
     "make_warp_pair_program",
+    "make_wipe_pair_program",
     "bucket_of",
     "warp_fits",
     "BUCKET_BOUNDS",
@@ -81,7 +86,7 @@ def _ceil_to(v: float, m: int) -> int:
     return int(-(-v // m) * m)
 
 
-def _config(height: int, width: int, bucket: int, n_mat: int) -> _Cfg:
+def _config(height: int, width: int, bucket: int, n_mat: int, with_mask: bool = False) -> _Cfg:
     bound, preferred = BUCKET_BOUNDS[bucket]
     win_c = min(_ceil_to(bound * (COL_CHUNK - 1) + 2 + (COL_CHUNK - 1), 128), width)
     n_chunks = width // COL_CHUNK
@@ -96,9 +101,10 @@ def _config(height: int, width: int, bucket: int, n_mat: int) -> _Cfg:
         rows = 2 * 4 * rpb * width * 2
         out = 2 * 4 * rpb * width * 4  # double-buffered output block
         flat = 2 * 4 * rpb * win_c * 2
+        mask = 2 * rpb * width * 4 if with_mask else 0  # wipe mask block
         cw_slots = n_mat * n_chunks if persist else 1
         cw = cw_slots * 2 * win_c * COL_CHUNK * 2
-        return _Cfg(rpb, win_r, win_c, persist), win + win2 + rows + out + flat + cw
+        return _Cfg(rpb, win_r, win_c, persist), win + win2 + rows + out + flat + mask + cw
 
     # biggest block size whose persisted-weight layout fits VMEM wins
     # (fewer grid steps -> less fixed per-block cost); if none fits,
@@ -119,13 +125,13 @@ def _config(height: int, width: int, bucket: int, n_mat: int) -> _Cfg:
     )
 
 
-def warp_fits(height: int, width: int, bucket: int, n_mat: int = 1) -> bool:
+def warp_fits(height: int, width: int, bucket: int, n_mat: int = 1, with_mask: bool = False) -> bool:
     """True when the warp kernel's scratch fits the VMEM budget for this
     geometry/bucket — callers gate Pallas-vs-XLA-gather on it."""
     if bucket < 0:
         return False
     try:
-        _config(height, width, bucket, n_mat)
+        _config(height, width, bucket, n_mat, with_mask)
         return True
     except ValueError:
         return False
@@ -163,20 +169,22 @@ def _make_program(
     n_mat: int,
     interpret: bool,
     _variant: str = "full",
+    pair_mode: str = "dissolve",
 ):
     assert width % COL_CHUNK == 0, "caller gates on width % 128 (pipeline._pick_warp)"
     assert n_src in (1, 2) and n_mat in (1, n_src)
-    rpb, win_r, win_c, persist_cw = _config(height, width, bucket, n_mat)
+    mixing = n_src == 2
+    wipe = mixing and pair_mode == "wipe"
+    rpb, win_r, win_c, persist_cw = _config(height, width, bucket, n_mat, with_mask=wipe)
     n_blocks = height // rpb
     n_chunks = width // COL_CHUNK
-    mixing = n_src == 2
 
     def kernel(*refs):
         (row_off_ref, py_ref, px_ref, col_off_ref) = refs[:4]
         idx = 4
         mix_ref = None
         if mixing:
-            mix_ref = refs[idx]
+            mix_ref = refs[idx]  # scalar mix (SMEM) or per-pixel mask block (VMEM)
             idx += 1
         src_refs = refs[idx : idx + n_src]
         out_ref = refs[idx + n_src]
@@ -293,7 +301,7 @@ def _make_program(
             # chunk (values can't be dynamically sliced in Mosaic; refs
             # can).  fori_loop, NOT a Python loop: full unrolling at UHD
             # overflows the Mosaic scoped-vmem stack.
-            if mixing:
+            if mixing and not wipe:
                 gain = mix_ref[0, 0] if s == 0 else 1.0 - mix_ref[0, 0]
 
             def one_chunk(j):
@@ -314,9 +322,14 @@ def _make_program(
                     + jnp.dot(fh, cw[store, 1], preferred_element_type=jnp.float32)
                 ).reshape(4, rpb, COL_CHUNK)
                 if mixing:
-                    # identical arithmetic to the two-kernel dissolve:
-                    # out = warp(a)*mix + warp(b)*(1-mix)
-                    chunk = chunk * gain
+                    # identical arithmetic to the two-kernel form:
+                    # dissolve out = warp(a)*mix + warp(b)*(1-mix);
+                    # wipe     out = warp(a)*(1-m) + warp(b)*m per pixel
+                    if wipe:
+                        mtile = mix_ref[:, pl.ds(o0, COL_CHUNK)]
+                        chunk = chunk * ((1.0 - mtile) if s == 0 else mtile)
+                    else:
+                        chunk = chunk * gain
                     if s > 0:
                         chunk = out_ref[:, :, pl.ds(o0, COL_CHUNK)] + chunk
                 out_ref[:, :, pl.ds(o0, COL_CHUNK)] = chunk
@@ -345,7 +358,14 @@ def _make_program(
             pl.BlockSpec(memory_space=pltpu.VMEM),  # px (n_mat, W)
             pl.BlockSpec(memory_space=pltpu.SMEM),  # col_off (n_mat, n_chunks)
         ]
-        + ([pl.BlockSpec(memory_space=pltpu.SMEM)] if mixing else [])  # mix (1,1)
+        + (
+            # wipe: per-pixel mask row block; dissolve: scalar mix
+            [pl.BlockSpec((rpb, width), lambda i, *_: (i, 0), memory_space=pltpu.VMEM)]
+            if wipe
+            else [pl.BlockSpec(memory_space=pltpu.SMEM)]
+            if mixing
+            else []
+        )
         + [pl.BlockSpec(memory_space=pl.ANY) for _ in range(n_src)],  # srcs in HBM
         out_specs=pl.BlockSpec(
             (4, rpb, width), lambda i, *_: (0, i, 0), memory_space=pltpu.VMEM
@@ -414,6 +434,16 @@ def _make_program(
 
         return warp
 
+    if wipe:
+
+        @jax.jit
+        def wipe_pair(src_a, src_b, mat_a, mat_b, mask):
+            mats = [mat_a] if n_mat == 1 else [mat_a, mat_b]
+            row_off, py, px, col_off = prologue(mats)
+            return call(row_off, py, px, col_off, mask, src_a, src_b)
+
+        return wipe_pair
+
     @jax.jit
     def warp_pair(src_a, src_b, mat_a, mat_b, mix):
         mats = [mat_a] if n_mat == 1 else [mat_a, mat_b]
@@ -458,3 +488,20 @@ def make_warp_pair_program(
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     return _make_program(height, width, bucket, 2, 1 if same_mat else 2, interpret)
+
+
+def make_wipe_pair_program(
+    height: int,
+    width: int,
+    bucket: int = 0,
+    same_mat: bool = True,
+    interpret: bool | None = None,
+):
+    """Fused wipe pair: fn(src_a, src_b, mat_a, mat_b, mask (H, W)) ->
+    warp(src_a)*(1-mask) + warp(src_b)*mask, one kernel launch — the
+    wipe transition (transition.ts:66-74) at dissolve cost."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    return _make_program(
+        height, width, bucket, 2, 1 if same_mat else 2, interpret, pair_mode="wipe"
+    )

@@ -241,9 +241,9 @@ class Channel:
                 mask_format="v210" if transition.type == "wipe" else None,
             )
             predicted.append(trans)
-            if warp_ok and transition.type == "dissolve":
-                # a dissolve on a layer with live DVE runs the fused
-                # pair kernel — prewarm its common buckets too
+            if warp_ok:
+                # a dissolve/wipe on a layer with live DVE runs the
+                # fused pair kernel — prewarm its common buckets too
                 predicted += [
                     trans._replace(has_transform=True, warp_bucket=b)
                     for b in (0, 1)

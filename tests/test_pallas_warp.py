@@ -139,6 +139,57 @@ def test_channel_program_uses_pair_kernel():
     assert np.abs(np.asarray(ya) - np.asarray(yb)).max() <= 1
 
 
+@pytest.mark.parametrize("same_mat", [True, False])
+def test_wipe_pair_matches_two_warps_plus_mask_blend(same_mat):
+    """The fused wipe pair kernel must equal warp(a)*(1-m) + warp(b)*m
+    computed with two single-source kernels + an elementwise blend."""
+    from phaneron_tpu.ops.pallas_warp import make_wipe_pair_program
+
+    rng = np.random.default_rng(11)
+    a = jnp.asarray(rng.random((4, H, W), dtype=np.float32))
+    b = jnp.asarray(rng.random((4, H, W), dtype=np.float32))
+    mask = jnp.asarray(rng.random((H, W), dtype=np.float32))
+    ma = transform_matrix(W, H, scale_x=0.9, scale_y=0.8, offset_x=0.05)
+    mb = ma if same_mat else transform_matrix(W, H, scale_x=1.2, offset_y=-0.1)
+    bucket = bucket_of(ma, mb)
+    single = make_warp_program(H, W, bucket, interpret=True)
+    m = np.asarray(mask)
+    want = np.asarray(single(a, jnp.asarray(ma))) * (1.0 - m) + np.asarray(
+        single(b, jnp.asarray(mb))
+    ) * m
+    pair = make_wipe_pair_program(H, W, bucket, same_mat=same_mat, interpret=True)
+    got = np.asarray(pair(a, b, jnp.asarray(ma), jnp.asarray(mb), mask))
+    assert np.abs(want - got).max() <= 1e-6
+
+
+def test_channel_program_uses_wipe_pair_kernel():
+    """A wipe+DVE layer routes through the fused wipe pair kernel and
+    matches the XLA path to <=1 packed code."""
+    w, h = 128, 32
+    v210 = get_format("v210")
+    src = np.asarray(v210.fill_buf(w, h)[0])
+    src_b = np.asarray(v210.fill_buf(w, h)[0])
+    mask_words = np.asarray(v210.fill_buf(w, h)[0])  # luma ramp -> varying mask
+    m = transform_matrix(w, h, scale_x=0.8, scale_y=0.8)
+    layer = LayerSpec(
+        "v210", transition="wipe", src_b_format="v210", mask_format="v210",
+        has_transform=True, axis_aligned=True, warp_bucket=bucket_of(m),
+    )
+    spec = ChannelSpec(w, h, "v210", layers=(layer,), pallas_stages=True)
+    base = spec._replace(pallas_stages=False, layers=(layer._replace(warp_bucket=-1),))
+    params = {
+        "layers": [
+            {"src": [src], "src_b": [src_b], "mask": [mask_words],
+             "matrix": jnp.asarray(m)}
+        ]
+    }
+    a = np.asarray(make_channel_program(spec)(params)[0])
+    b = np.asarray(make_channel_program(base)(params)[0])
+    ya, _, _ = v210.unpack_codes([jnp.asarray(a)], w, h)
+    yb, _, _ = v210.unpack_codes([jnp.asarray(b)], w, h)
+    assert np.abs(np.asarray(ya) - np.asarray(yb)).max() <= 1
+
+
 def test_vmem_budget_all_formats_all_buckets():
     """Every served geometry x bucket must yield a warp config whose
     scratch fits the VMEM budget (8K x strong-minification used to
@@ -165,4 +216,9 @@ def test_vmem_budget_all_formats_all_buckets():
                 slots = n_mat * n_chunks if cfg.persist_cw else 1
                 cw = slots * 2 * cfg.win_c * 128 * 2
                 assert win + win2 + rows + out + flat + cw <= VMEM_BUDGET
+                # the wipe variant adds a double-buffered mask block and
+                # must still fit (or honestly report unfit)
+                assert warp_fits(h, w, bucket, n_mat, with_mask=True), (
+                    h, w, bucket, n_mat,
+                )
     assert not warp_fits(64, 256, -1)
