@@ -1,0 +1,146 @@
+"""SDI consumer driven against a fake hardware backend: field-pair
+packing, s32 audio, and genlock pacing (macadamConsumer.ts:174-296)."""
+
+import asyncio
+import time
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from phaneron_tpu.config import VideoFormat
+from phaneron_tpu.consumer.consumer import ChannelFrame
+from phaneron_tpu.consumer.sdi_consumer import SDIConsumer
+from phaneron_tpu.ops.formats import get_format
+
+FMT_I = VideoFormat("96i", 2, 96, 64, 96, 50, 1, 48000, 2)
+FMT_P = VideoFormat("96p200", 1, 96, 64, 96, 200, 1, 48000, 2)
+
+
+class FakeBackend:
+    """Records display_frame calls with their hardware-clock times —
+    the waitHW test double (macadamConsumer.ts:174-197)."""
+
+    def __init__(self):
+        self.opened = None
+        self.frames = []  # (hw_time, planes, audio_s32, ts)
+        self.closed = False
+        self._start = time.monotonic()
+
+    def hardware_time(self) -> float:
+        return time.monotonic() - self._start
+
+    async def open(self, device_index, fmt, keyer=False):
+        self.opened = (device_index, fmt.name, keyer)
+
+    async def display_frame(self, planes, audio_s32, ts):
+        self.frames.append((self.hardware_time(), planes, audio_s32, ts))
+
+    def close(self):
+        self.closed = True
+
+
+def _frame(ts, fmt, rgba=None, packed=None, level=0.0):
+    samples = fmt.samples_per_frame
+    audio = np.full((fmt.audio_channels, samples), level, dtype=np.float32)
+    return ChannelFrame(
+        timestamp=ts,
+        packed=packed,
+        rgba=rgba,
+        audio=audio,
+        width=fmt.width,
+        height=fmt.height,
+        packed_format="v210",
+    )
+
+
+def test_requires_backend():
+    cons = SDIConsumer({})
+    with pytest.raises(RuntimeError):
+        asyncio.run(cons.initialise(FMT_P))
+
+
+def test_interlaced_field_pair_packing_and_s32_audio():
+    """Two field-rate frames become ONE displayed interlaced frame:
+    even lines from the first (top) field, odd from the second, with
+    both fields' audio interleaved as s32 (macadamConsumer.ts:224-244,
+    135-158)."""
+    backend = FakeBackend()
+    cons = SDIConsumer({"backend": backend, "device": 2})
+    asyncio.run(cons.initialise(FMT_I))
+    assert backend.opened == (2, "96i", False)
+    assert cons.needs_rgba
+
+    h, w = FMT_I.height, FMT_I.width
+    black = jnp.zeros((4, h, w), dtype=jnp.float32)
+    white = jnp.concatenate(
+        [jnp.ones((3, h, w), dtype=jnp.float32), jnp.ones((1, h, w), jnp.float32)]
+    )
+
+    async def drive():
+        await cons.deliver(_frame(0, FMT_I, rgba=black, level=0.25))
+        assert backend.frames == []  # first field pends
+        await cons.deliver(_frame(1, FMT_I, rgba=white, level=-0.25))
+
+    asyncio.run(drive())
+    assert len(backend.frames) == 1
+    _, planes, audio_s32, ts = backend.frames[0]
+
+    v210 = get_format("v210")
+    y, u, v = (np.asarray(x) for x in v210.unpack_codes([jnp.asarray(planes[0])], w, h))
+    # field provenance: even lines black (64), odd lines white (940)
+    assert (y[0::2] == 64).all()
+    assert (y[1::2] == 940).all()
+    assert (u == 512).all() and (v == 512).all()
+
+    # both fields' audio, interleaved s32
+    assert audio_s32.dtype == np.int32
+    assert audio_s32.shape == (2 * FMT_I.samples_per_frame * FMT_I.audio_channels,)
+    half = FMT_I.samples_per_frame * FMT_I.audio_channels
+    assert (audio_s32[:half] > 0).all() and (audio_s32[half:] < 0).all()
+
+    cons.release()
+    assert backend.closed
+
+
+def test_genlock_pacing_holds_burst_deliveries():
+    """A burst of frames must drain at the hardware clock's cadence, not
+    instantly — the waitHW software genlock."""
+    backend = FakeBackend()
+    cons = SDIConsumer({"backend": backend})
+    asyncio.run(cons.initialise(FMT_P))
+    assert cons.frame_period == pytest.approx(0.005)
+    n = 16
+    planes = [np.zeros((4,), np.uint32)]
+
+    async def drive():
+        for i in range(n):
+            await cons.deliver(_frame(i, FMT_P, packed=planes))
+
+    t0 = time.monotonic()
+    asyncio.run(drive())
+    elapsed = time.monotonic() - t0
+    assert len(backend.frames) == n
+    # n frames pace to (n-1) periods minimum (frame 0 sets the origin)
+    assert elapsed >= (n - 1) * cons.frame_period * 0.85
+    assert cons.late_frames == 0
+    # successive display times respect the cadence
+    times = [t for t, *_ in backend.frames]
+    gaps = np.diff(times)
+    assert (gaps > cons.frame_period * 0.5).all()
+
+
+def test_genlock_counts_late_frames():
+    backend = FakeBackend()
+    cons = SDIConsumer({"backend": backend})
+    asyncio.run(cons.initialise(FMT_P))
+    planes = [np.zeros((4,), np.uint32)]
+
+    async def drive():
+        await cons.deliver(_frame(0, FMT_P, packed=planes))
+        await cons.deliver(_frame(1, FMT_P, packed=planes))
+        await asyncio.sleep(4 * cons.frame_period)  # miss two slots
+        await cons.deliver(_frame(2, FMT_P, packed=planes))
+
+    asyncio.run(drive())
+    assert cons.late_frames >= 1
