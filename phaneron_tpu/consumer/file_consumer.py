@@ -65,11 +65,17 @@ class FileConsumer(Consumer):
         if self.interlaced:
             # pack field pairs ourselves from the RGBA output
             self.needs_rgba = True
+            import jax
+            import jax.numpy as jnp
+
             from ..graph.pipeline import make_interlaced_pack_program
+            from ..graph.warmup import prewarm_jit
 
             self._pack_pair = make_interlaced_pack_program(
                 self.pix_format, fmt.width, fmt.height, "709"
             )
+            field = jax.ShapeDtypeStruct((4, fmt.height, fmt.width), jnp.float32)
+            prewarm_jit(self._pack_pair, field, field)
         self.path.parent.mkdir(parents=True, exist_ok=True)
         self._fh = open(self.path, "wb")
         sidecar = {

@@ -63,11 +63,17 @@ class SDIConsumer(Consumer):
         self.interlaced = fmt.interlaced
         if self.interlaced:
             self.needs_rgba = True
+            import jax
+            import jax.numpy as jnp
+
             from ..graph.pipeline import make_interlaced_pack_program
+            from ..graph.warmup import prewarm_jit
 
             self._pack_pair = make_interlaced_pack_program(
                 self.pix_format, fmt.width, fmt.height, "709"
             )
+            field = jax.ShapeDtypeStruct((4, fmt.height, fmt.width), jnp.float32)
+            prewarm_jit(self._pack_pair, field, field)
         # displayed-frame period: interlaced channels tick at field rate,
         # the wire carries one frame per two fields (config.ts:43-78)
         self.frame_period = fmt.duration / fmt.timescale * (2 if fmt.interlaced else 1)

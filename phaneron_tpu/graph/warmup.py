@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from ..ops.formats import get_format
 from .pipeline import ChannelSpec, LayerSpec, make_channel_program
 
-__all__ = ["dummy_params", "prewarm"]
+__all__ = ["dummy_params", "prewarm", "prewarm_jit"]
 
 
 def _plane_structs(fmt_name: str, width: int, height: int):
@@ -67,3 +67,21 @@ async def prewarm(spec: ChannelSpec) -> None:
         await asyncio.to_thread(_compile, spec)
     except Exception as err:
         print(f"prewarm failed for {spec}: {err}")
+
+
+def prewarm_jit(program, *arg_structs) -> None:
+    """AOT-compile any jitted program off the event loop (consumers'
+    pack programs pay multi-second first compiles otherwise — the first
+    paired deliver used to stall the frame loop behind its clock).
+    No-op outside a running loop (synchronous tests compile lazily)."""
+
+    def compile_():
+        try:
+            program.lower(*arg_structs).compile()
+        except Exception as err:
+            print(f"prewarm_jit failed: {err}")
+
+    try:
+        asyncio.get_running_loop().create_task(asyncio.to_thread(compile_))
+    except RuntimeError:
+        pass

@@ -85,6 +85,13 @@ class RawFileProducer(Producer):
             )
         self._mm: np.memmap | None = None
         self._pending_seek: int | None = None
+        # looping sources cache uploaded frames in HBM: stingers/loops
+        # replay with ZERO host->device traffic after the first pass
+        # (the host link — PCIe in production, a WAN tunnel here — only
+        # pays each frame once; the reference relies on OS file cache +
+        # PCIe instead, io.ts:88-94)
+        self._device_cache: dict[int, list] = {}
+        self._cache_ok = False
 
     def seek(self, frame: int) -> bool:
         self._pending_seek = frame
@@ -104,21 +111,35 @@ class RawFileProducer(Producer):
             raise InvalidProducerError(f"file smaller than one frame: {self.path}")
         self._mm = np.memmap(self.path, dtype=np.uint8, mode="r")
         self._fmt_mod = fmt_mod
+        self._cache_ok = (
+            self.loop and self.num_frames * self.frame_bytes <= self.CACHE_BYTES
+        )
+
+    # device-cache budget for looping sources (HBM is 16 GB/chip; a
+    # 24-frame 1080i stinger is ~130 MB)
+    CACHE_BYTES = 512 * 1024 * 1024
 
     def _load_frame(self, index: int):
         """Read + convert + upload one frame (runs on the loader thread:
         the host read and the host->HBM DMA of frame N+1 overlap the
         channel compositing frame N — the reference's load-queue
-        overlap, io.ts:88-94, SURVEY.md §7.1)."""
+        overlap, io.ts:88-94, SURVEY.md §7.1).  Looping sources within
+        the cache budget serve repeat passes from HBM."""
         import time
 
         import jax
 
         stamp = time.monotonic()
+        cached = self._device_cache.get(index)
+        if cached is not None:
+            return cached, stamp
         off = index * self.frame_bytes
         raw = bytes(self._mm[off : off + self.frame_bytes])
         planes = self._fmt_mod.from_bytes(raw, self.width, self.height)
-        return [jax.device_put(p) for p in planes], stamp
+        arrays = [jax.device_put(p) for p in planes]
+        if self._cache_ok:
+            self._device_cache[index] = arrays
+        return arrays, stamp
 
     def video_stream(self) -> Stream:
         seek = self.params.seek

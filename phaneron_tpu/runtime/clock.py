@@ -45,4 +45,11 @@ class FrameClock:
         self.total_frames += 1
         if late > self.late_warn:
             self.late_frames += 1
+        if late > 4 * self.period:
+            # a long stall (e.g. an unpredicted compile) happened: you
+            # cannot replay the past in broadcast — re-anchor to the
+            # present so ONE stall counts its own lateness instead of
+            # marking every subsequent on-pace frame late forever (the
+            # hardware-genlock analogue realigns the same way)
+            self.origin += late
         return late

@@ -12,6 +12,12 @@ and report pacing + end-to-end latency stats, in three configurations:
                            (4 x 288x160p50 v210 = ~25 MB/s): full
                            ingest->composite->pack->host->disk with no
                            drops, proving the threaded egress path
+4. 1080i50 interlaced     — raw 1080i v210 file ingest -> yadif ring
+                           field-rate doubling -> field-pair pack ->
+                           SDI consumer against a fake genlock backend:
+                           the reference's signature broadcast path
+                           (macadamProducer.ts -> macadamConsumer.ts)
+                           as one live paced pipeline
 
 Run from the repo root: python tools/serve_bench.py [seconds]
 """
@@ -85,8 +91,76 @@ async def run_config(name, fmt_name, make_consumer, seconds):
     return total_late
 
 
+class FakeGenlock:
+    """Test/bench double for the SDI hardware seam: a free-running
+    output clock + display_frame recorder (macadamConsumer.ts:174-197)."""
+
+    def __init__(self):
+        import time
+
+        self._t = time.monotonic
+        self._start = self._t()
+        self.displayed = 0
+
+    def hardware_time(self):
+        return self._t() - self._start
+
+    async def open(self, device_index, fmt, keyer=False):
+        pass
+
+    async def display_frame(self, planes, audio_s32, ts):
+        self.displayed += 1
+
+    def close(self):
+        pass
+
+
+async def run_interlaced(seconds):
+    """Config 4: 1080i ingest -> yadif -> interlaced SDI playout."""
+    from phaneron_tpu.consumer.sdi_consumer import SDIConsumer
+    from phaneron_tpu.producer.raw_file import create_raw_file_producer
+    from phaneron_tpu.utils.fixtures import write_interlaced_v210
+
+    tmp = Path(tempfile.mkdtemp(prefix="phaneron_1080i_"))
+    n_clip = 16
+    path, _ = write_interlaced_v210(tmp, 1920, 1080, n_frames=n_clip)
+    fmt = get_video_format("1080i5000")
+    reg = ProducerRegistry([create_raw_file_producer])
+    ch = Channel(5, fmt, reg)
+    backend = FakeGenlock()
+    sdi = SDIConsumer({"backend": backend})
+    await ch.add_consumer(sdi)
+    assert await ch.load_source(1, LoadParams(str(path), loop=True))
+    ch.play(1)
+    # warm one full loop: compiles the yadif+pack programs AND lands the
+    # looping clip in the producer's HBM frame cache — steady state then
+    # ingests with zero host->device traffic (this environment's host
+    # link is a ~30 MB/s WAN tunnel; production is PCIe)
+    for _ in range(2 * n_clip + 6):
+        await ch.render_frame()
+    ch.clock.reset()
+    ch.timestamp = 0
+    ch.frame_times.clear()
+    ch.start()
+    await asyncio.sleep(seconds)
+    s = ch.stats()
+    print("--- 1080i50 ingest -> yadif -> SDI (fake genlock)")
+    print(
+        f"ch{s['channel']}: fields={s['frames']} late={s['late_frames']} "
+        f"displayed_frames={backend.displayed} sdi_late={sdi.late_frames} "
+        f"render_p50={s['render_p50_ms']:.2f}ms p99={s['render_p99_ms']:.2f}ms"
+    )
+    await ch.shutdown()
+    return s["late_frames"] + sdi.late_frames, backend.displayed
+
+
 async def main():
     seconds = float(sys.argv[1]) if len(sys.argv) > 1 else 12.0
+    if "interlaced" in sys.argv[2:]:  # run only config 4 (iteration aid)
+        late3, displayed = await run_interlaced(seconds)
+        assert late3 <= max(1, int(0.02 * seconds * 50)), f"1080i late: {late3}"
+        assert displayed >= int(0.8 * seconds * 25), f"1080i displayed: {displayed}"
+        return
     tmp = Path(tempfile.mkdtemp(prefix="phaneron_bench_"))
     late0 = await run_config(
         "device sink, 4 x 1080p50", "1080p5000", lambda i: DeviceSink(), seconds
@@ -105,6 +179,7 @@ async def main():
         lambda i: FileConsumer({"path": str(tmp / f"sm_{i}.v210")}),
         seconds,
     )
+    late3, displayed = await run_interlaced(seconds)
     # tolerance: this image has ONE cpu core shared by 4 channel loops,
     # 8 consumer threads and the asyncio loop, and device syncs ride a
     # ~30 ms WAN tunnel — a handful of late ticks is host-scheduling
@@ -112,7 +187,9 @@ async def main():
     budget = int(0.02 * 4 * seconds * 50)
     assert late0 <= budget, f"device-sink config went late: {late0}"
     assert late1 <= budget, f"file consumers stalled the frame loop: {late1}"
-    print(f"total late: {late0 + late1 + late2} (outputs in {tmp})")
+    assert late3 <= max(1, int(0.02 * seconds * 50)), f"1080i config went late: {late3}"
+    assert displayed >= int(0.8 * seconds * 25), f"1080i displayed too few: {displayed}"
+    print(f"total late: {late0 + late1 + late2 + late3} (outputs in {tmp})")
 
 
 asyncio.run(main())
