@@ -76,6 +76,10 @@ class ConsumerConfig:
     device: dict[str, Any] = field(default_factory=dict)  # name + params
     chip: Optional[int] = None  # TPU device index to pin the channel to
     # (channel-per-chip placement, SURVEY §2.7 P2); None = default device
+    sp: int = 1  # scanline sharding: run this channel row-sharded over
+    # sp consecutive chips starting at `chip` (or over `chips`); the
+    # route to UHD/8K sub-10ms latency (SURVEY §2.7 P5, §5.7)
+    chips: Optional[list[int]] = None  # explicit device group for sp>1
 
 
 @dataclass
@@ -99,7 +103,11 @@ class ServerConfig:
         raw = json.loads(Path(path).read_text())
         channels = [
             ConsumerConfig(
-                c.get("format", "1080p5000"), c.get("device", {}), c.get("chip")
+                c.get("format", "1080p5000"),
+                c.get("device", {}),
+                c.get("chip"),
+                int(c.get("sp", 1)),
+                c.get("chips"),
             )
             for c in raw.get("channels", [])
         ]

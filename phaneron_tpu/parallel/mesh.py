@@ -26,7 +26,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..graph.pipeline import ChannelSpec, _channel_frame, _prewarm_coeffs
 
-__all__ = ["make_mesh", "make_multi_channel_program", "shard_channel_params"]
+__all__ = [
+    "make_mesh",
+    "make_multi_channel_program",
+    "shard_channel_params",
+    "make_sp_mesh",
+    "shard_params_sp",
+]
 
 
 def make_mesh(devices=None, ch: int | None = None, sp: int | None = None) -> Mesh:
@@ -74,6 +80,47 @@ def shard_channel_params(params, mesh: Mesh):
     def put(path, leaf):
         leaf = jnp.asarray(leaf)
         spec = _param_pspec(leaf_key(path), leaf.ndim)
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return tree_map_with_path(put, params)
+
+
+def make_sp_mesh(devices) -> Mesh:
+    """1-D scanline mesh over a channel's device group: one LIVE channel's
+    frame program runs row-sharded across these chips (SURVEY §2.7 P5 /
+    §5.7 — the TPU answer to UHD/8K single-channel latency)."""
+    return Mesh(np.asarray(devices), ("sp",))
+
+
+def _sp_pspec(key: str, ndim: int) -> P:
+    """Partition spec for one live-channel param under scanline sharding,
+    selected by PARAM NAME (same discipline as _param_pspec: a (3, 3)
+    matrix must never land on a plane branch)."""
+    if key in _REPLICATED_KEYS or ndim <= 1:
+        return P()
+    if key in ("src_ring", "src_b_ring"):  # (ring, rgba, H, W)
+        return P(None, None, "sp", None)
+    if ndim >= 3:  # rgba frames (4, H, W)
+        return P(None, "sp", *([None] * (ndim - 3)))
+    return P("sp", None)  # packed planes (H, ...)
+
+
+def shard_params_sp(params, mesh: Mesh):
+    """device_put one channel's frame params with scanline (row)
+    sharding; XLA GSPMD inserts the halo collectives for yadif/warp
+    vertical taps (bit-equality proven by the multichip dryrun)."""
+    from jax.tree_util import DictKey, tree_map_with_path
+
+    def leaf_key(path) -> str:
+        for entry in reversed(path):
+            if isinstance(entry, DictKey):
+                return str(entry.key)
+        return ""
+
+    def put(path, leaf):
+        if not hasattr(leaf, "ndim"):
+            leaf = jnp.asarray(leaf)
+        spec = _sp_pspec(leaf_key(path), leaf.ndim)
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
     return tree_map_with_path(put, params)

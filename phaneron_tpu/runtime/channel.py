@@ -78,6 +78,7 @@ class Channel:
         gamma_mode: str = "analytic",
         use_pallas: Optional[bool] = None,
         device=None,
+        sp_devices=None,
     ):
         self.chan_id = chan_id
         self.fmt = fmt
@@ -89,6 +90,20 @@ class Channel:
         # programs run on this device; ROUTE frames arriving from a
         # channel pinned elsewhere transfer over ICI via device_put
         self.device = device
+        # scanline (sp) sharding (SURVEY §2.7 P5): with N devices the
+        # channel's fused program runs row-sharded across all of them —
+        # one compiled program, GSPMD halo collectives over ICI.  This
+        # is the live form of the multichip dryrun's sp axis: UHD/8K
+        # latency divides ~linearly by len(sp_devices).
+        self._sp_mesh = None
+        if sp_devices is not None and len(sp_devices) > 1:
+            if fmt.height % len(sp_devices):
+                raise ValueError(
+                    f"channel height {fmt.height} not divisible by sp={len(sp_devices)}"
+                )
+            from ..parallel.mesh import make_sp_mesh
+
+            self._sp_mesh = make_sp_mesh(list(sp_devices))
         if use_pallas is None:
             import jax
 
@@ -362,10 +377,18 @@ class Channel:
         )
 
     def _pin(self, contribs):
-        """Move contribution arrays to this channel's device.  A no-op
+        """Move contribution arrays to this channel's device(s).  A no-op
         for frames already resident; cross-chip ROUTE frames ride the
         interconnect here (ICI on TPU pods — the reference's HTTP
-        cluster hop replaced by a device-to-device copy)."""
+        cluster hop replaced by a device-to-device copy).  Under sp
+        sharding every param lands row-sharded over the channel's mesh
+        (incl. resharding ROUTE frames arriving from another mesh)."""
+        if self._sp_mesh is not None:
+            from ..parallel.mesh import shard_params_sp
+
+            for c in contribs:
+                c.params = shard_params_sp(c.params, self._sp_mesh)
+            return contribs
         if self.device is None:
             return contribs
         import jax

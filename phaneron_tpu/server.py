@@ -91,12 +91,20 @@ class PhaneronServer:
         for i, cc in enumerate(self.config.channels, start=1):
             fmt = get_video_format(cc.format)
             chip_device = None
-            if cc.chip is not None:
-                # channel-per-chip placement from config (SURVEY §2.7 P2)
+            sp_devices = None
+            if cc.chip is not None or cc.sp > 1 or cc.chips:
                 import jax
 
                 devices = jax.devices()
-                chip_device = devices[cc.chip % len(devices)]
+                if cc.sp > 1 or cc.chips:
+                    # scanline-sharded channel over a chip group
+                    idxs = cc.chips or list(
+                        range(cc.chip or 0, (cc.chip or 0) + cc.sp)
+                    )
+                    sp_devices = [devices[j % len(devices)] for j in idxs]
+                elif cc.chip is not None:
+                    # channel-per-chip placement (SURVEY §2.7 P2)
+                    chip_device = devices[cc.chip % len(devices)]
             channel = Channel(
                 i,
                 fmt,
@@ -104,6 +112,7 @@ class PhaneronServer:
                 col_spec=self.config.col_spec,
                 gamma_mode=self.config.gamma_mode,
                 device=chip_device,
+                sp_devices=sp_devices,
             )
             device = dict(cc.device)
             name = device.pop("name", None)
