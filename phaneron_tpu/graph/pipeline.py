@@ -240,15 +240,49 @@ def _process_layer(lspec: LayerSpec, lparams: dict, spec: ChannelSpec) -> jnp.nd
     return rgba_b * m + rgba * (1.0 - m)
 
 
+def _fused_composite(spec: ChannelSpec, params: dict) -> jnp.ndarray:
+    """All layers in ONE Pallas kernel: v210 decode + warp + dissolve +
+    over-composite with zero intermediate RGBA materialisation
+    (ops.pallas_composite; gated by composite_supported)."""
+    from ..ops.pallas_composite import make_composite_program
+    from ..ops.pallas_kernels import words_to_planes
+
+    layer_cfg = tuple(
+        (2 if ls.transition == "dissolve" else 1, ls.warp_bucket)
+        for ls in spec.layers
+    )
+    prog = make_composite_program(
+        spec.height, spec.width, layer_cfg, spec.col_spec, spec.out_col_spec
+    )
+    srcs, mats, mixes = [], [], []
+    for ls, lp in zip(spec.layers, params["layers"]):
+        srcs.append(words_to_planes(lp["src"][0].astype(jnp.uint32)))
+        if ls.transition == "dissolve":
+            srcs.append(words_to_planes(lp["src_b"][0].astype(jnp.uint32)))
+            mixes.append(jnp.asarray(lp["mix"], jnp.float32))
+        else:
+            mixes.append(jnp.float32(1.0))
+        mats.append(lp["matrix"])
+    return prog(srcs, jnp.stack(mats), jnp.stack(mixes))
+
+
 def _channel_frame(spec: ChannelSpec, params: dict):
     """params = {'layers': [per-layer dicts bottom..top]} -> packed planes
     (and the composited RGBA when spec.emit_rgba)."""
     h, w = spec.height, spec.width
-    black = jnp.zeros((4, h, w), dtype=jnp.float32)  # Black generator
-    frames = [black] + [
-        _process_layer(ls, lp, spec) for ls, lp in zip(spec.layers, params["layers"])
-    ]
-    composited = combine(frames)
+    use_fused = False
+    if spec.pallas_stages:
+        from ..ops.pallas_composite import composite_supported
+
+        use_fused = composite_supported(spec)
+    if use_fused:
+        composited = _fused_composite(spec, params)
+    else:
+        black = jnp.zeros((4, h, w), dtype=jnp.float32)  # Black generator
+        frames = [black] + [
+            _process_layer(ls, lp, spec) for ls, lp in zip(spec.layers, params["layers"])
+        ]
+        composited = combine(frames)
     if spec.out_format == "v210" and spec.pallas_stages:
         from ..ops.pallas_kernels import make_v210_pack_rgba
 
