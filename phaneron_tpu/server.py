@@ -25,6 +25,7 @@ from .control.commands import Commands
 from .control.heads import Heads
 from .control.mixer_cmds import MixerCmds
 from .control.osc import Osc
+from .producer.avi_file import create_avi_producer
 from .producer.ffmpeg import create_ffmpeg_producer
 from .producer.mjpeg import create_mjpeg_producer
 from .producer.producer import ProducerRegistry
@@ -68,6 +69,7 @@ class PhaneronServer:
                 make_route_factory(lambda n: self.channels.get(n)),
                 create_test_pattern_producer,
                 create_mjpeg_producer,
+                create_avi_producer,
                 create_raw_file_producer,
                 create_ffmpeg_producer,
             ]

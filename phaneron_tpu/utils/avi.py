@@ -1,0 +1,236 @@
+"""Minimal RIFF/AVI container reader + writer for UNCOMPRESSED media.
+
+Real-container ingest without codec libraries: broadcast delivery of
+uncompressed v210 inside AVI/MOV wrappers is standard practice, and the
+reference's file producer handles such files through libavformat
+(producer/ffmpegProducer.ts:98-168 — probe, stream select, geometry).
+This module gives the TPU build the same capability natively: parse the
+container headers (avih / strh / strf), locate the movi payload chunks,
+and expose per-frame byte ranges over a memmap — zero-copy until the
+producer's loader thread touches a frame.
+
+Scope: 'vids' streams whose biCompression is a fourcc this build's
+format library decodes bit-exactly (v210, plus BI_RGB 32-bit as bgra8),
+and one optional 'auds' PCM stream (s16 or f32 interleaved).  Anything
+compressed raises — the FFmpeg producer (gated on a real binary) owns
+codecs.
+
+The writer emits the same subset, used by tests and by tools that need
+fixture media; output opens in ffmpeg/VLC.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+__all__ = ["AviInfo", "AviVideo", "AviAudio", "read_avi", "write_avi"]
+
+
+@dataclass
+class AviVideo:
+    fourcc: str
+    width: int
+    height: int
+    fps: float
+    bit_count: int
+    frames: list[tuple[int, int]] = field(default_factory=list)  # (offset, size)
+    bottom_up: bool = False  # BI_RGB with positive biHeight
+
+
+@dataclass
+class AviAudio:
+    format_tag: int  # 1 = PCM int, 3 = IEEE float
+    channels: int
+    sample_rate: int
+    bits: int
+    chunks: list[tuple[int, int]] = field(default_factory=list)
+
+
+@dataclass
+class AviInfo:
+    video: Optional[AviVideo]
+    audio: Optional[AviAudio]
+
+
+def _u32(b: bytes, off: int) -> int:
+    return struct.unpack_from("<I", b, off)[0]
+
+
+def read_avi(path: str | Path) -> AviInfo:
+    """Parse headers + scan movi chunks.  Raises ValueError on anything
+    that is not an AVI with supported uncompressed streams."""
+    data = np.memmap(path, dtype=np.uint8, mode="r")
+    raw = data[: 64 * 1024].tobytes()  # headers live up front
+    if len(raw) < 12 or raw[0:4] != b"RIFF" or raw[8:12] != b"AVI ":
+        raise ValueError("not an AVI file")
+
+    video: Optional[AviVideo] = None
+    audio: Optional[AviAudio] = None
+    stream_kinds: list[str] = []  # index -> 'vids'/'auds'
+    movi_ranges: list[tuple[int, int]] = []
+
+    def parse_strl(buf: bytes, pos: int, end: int) -> None:
+        nonlocal video, audio
+        fcc_type = b""
+        scale = rate = length = 0
+        while pos + 8 <= end:
+            ck = buf[pos : pos + 4]
+            sz = _u32(buf, pos + 4)
+            body = pos + 8
+            if ck == b"strh":
+                fcc_type = buf[body : body + 4]
+                scale = _u32(buf, body + 20)
+                rate = _u32(buf, body + 24)
+                length = _u32(buf, body + 32)
+            elif ck == b"strf" and fcc_type == b"vids":
+                w = struct.unpack_from("<i", buf, body + 4)[0]
+                h = struct.unpack_from("<i", buf, body + 8)[0]
+                bits = struct.unpack_from("<H", buf, body + 14)[0]
+                comp = buf[body + 16 : body + 20]
+                if comp == b"\x00\x00\x00\x00":
+                    fourcc = "BI_RGB"
+                else:
+                    fourcc = comp.decode("ascii", "replace")
+                video = AviVideo(
+                    fourcc=fourcc,
+                    width=w,
+                    height=abs(h),
+                    fps=(rate / scale) if scale else 25.0,
+                    bit_count=bits,
+                    bottom_up=(fourcc == "BI_RGB" and h > 0),
+                )
+                stream_kinds.append("vids")
+            elif ck == b"strf" and fcc_type == b"auds":
+                tag, ch = struct.unpack_from("<HH", buf, body)
+                sample_rate = _u32(buf, body + 4)
+                bits = struct.unpack_from("<H", buf, body + 14)[0]
+                audio = AviAudio(
+                    format_tag=tag, channels=ch, sample_rate=sample_rate, bits=bits
+                )
+                stream_kinds.append("auds")
+            pos = body + sz + (sz & 1)
+
+    # top-level walk
+    pos, end = 12, len(raw)
+    while pos + 8 <= end:
+        ck = raw[pos : pos + 4]
+        sz = _u32(raw, pos + 4)
+        body = pos + 8
+        if ck == b"LIST":
+            kind = raw[body : body + 4]
+            if kind == b"hdrl":
+                # walk hdrl for strl LISTs
+                p2, e2 = body + 4, body + sz
+                while p2 + 8 <= e2:
+                    c2 = raw[p2 : p2 + 4]
+                    s2 = _u32(raw, p2 + 4)
+                    if c2 == b"LIST" and raw[p2 + 8 : p2 + 12] == b"strl":
+                        parse_strl(raw, p2 + 12, p2 + 8 + s2)
+                    p2 += 8 + s2 + (s2 & 1)
+            elif kind == b"movi":
+                movi_ranges.append((body + 4, body + sz))
+        pos = body + sz + (sz & 1)
+
+    if video is None:
+        raise ValueError("no vids stream")
+    if video.fourcc not in ("v210", "BI_RGB"):
+        raise ValueError(f"compressed/unsupported video fourcc '{video.fourcc}'")
+    if audio is not None and audio.format_tag not in (1, 3):
+        raise ValueError(f"unsupported audio format tag {audio.format_tag}")
+
+    # movi scan: chunk ids are '##db'/'##dc'/'##wb' with ## = stream no.
+    for m_start, m_end in movi_ranges:
+        p = m_start
+        while p + 8 <= m_end:
+            ck = bytes(data[p : p + 4])
+            sz = _u32(bytes(data[p + 4 : p + 8]), 0)
+            body = p + 8
+            tail = ck[2:4]
+            if tail in (b"db", b"dc"):
+                video.frames.append((body, sz))
+            elif tail == b"wb" and audio is not None:
+                audio.chunks.append((body, sz))
+            p = body + sz + (sz & 1)
+
+    if not video.frames:
+        raise ValueError("movi holds no video chunks")
+    return AviInfo(video=video, audio=audio)
+
+
+def write_avi(
+    path: str | Path,
+    frames: list[bytes],
+    fourcc: str,
+    width: int,
+    height: int,
+    fps: float,
+    bit_count: int = 20,
+    audio: Optional[np.ndarray] = None,  # (channels, samples) float32
+    audio_rate: int = 48000,
+) -> None:
+    """Write an uncompressed AVI (one vids stream, optional float PCM
+    auds stream, audio interleaved per video frame)."""
+    scale, rate = 1000, int(round(fps * 1000))
+    n = len(frames)
+    sizes = {len(f) for f in frames}
+    assert len(sizes) == 1, "uniform frame size required"
+    frame_bytes = sizes.pop()
+
+    def chunk(ck: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return ck + struct.pack("<I", len(body)) + body + pad
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        int(1e6 / fps), frame_bytes * int(fps), 0, 0x10, n, 0,
+        2 if audio is not None else 1, frame_bytes, width, height, 0, 0, 0, 0,
+    )
+    strh_v = struct.pack(
+        "<4s4sIHHIIIIIIiI4H",
+        b"vids", fourcc.encode().ljust(4), 0, 0, 0, 0, scale, rate, 0, n,
+        frame_bytes, -1, 0, 0, 0, width & 0xFFFF, height & 0xFFFF,
+    )
+    comp = b"\x00\x00\x00\x00" if fourcc == "BI_RGB" else fourcc.encode().ljust(4)
+    strf_v = struct.pack(
+        "<IiiHH4sIiiII",
+        40, width, -height if fourcc == "BI_RGB" else height, 1, bit_count,
+        comp, frame_bytes, 0, 0, 0, 0,
+    )
+    hdrl = chunk(b"avih", avih) + lst(
+        b"strl", chunk(b"strh", strh_v) + chunk(b"strf", strf_v)
+    )
+
+    aud_per_frame: list[bytes] = []
+    if audio is not None:
+        ch, total = audio.shape
+        block_align = ch * 4
+        strh_a = struct.pack(
+            "<4s4sIHHIIIIIIiI4H",
+            b"auds", b"\x00\x00\x00\x00", 0, 0, 0, 0, 1, audio_rate, 0, total,
+            audio_rate * block_align, -1, block_align, 0, 0, 0, 0,
+        )
+        strf_a = struct.pack(
+            "<HHIIHH", 3, ch, audio_rate, audio_rate * block_align, block_align, 32
+        )
+        hdrl += lst(b"strl", chunk(b"strh", strh_a) + chunk(b"strf", strf_a))
+        per = total // n
+        inter = np.ascontiguousarray(audio.T, dtype="<f4")  # (samples, ch)
+        for k in range(n):
+            aud_per_frame.append(inter[k * per : (k + 1) * per].tobytes())
+
+    movi = b"movi"
+    for k, f in enumerate(frames):
+        movi += chunk(b"00db", f)
+        if aud_per_frame:
+            movi += chunk(b"01wb", aud_per_frame[k])
+
+    riff = lst(b"hdrl", hdrl) + chunk(b"LIST", movi)
+    Path(path).write_bytes(b"RIFF" + struct.pack("<I", 4 + len(riff)) + b"AVI " + riff)

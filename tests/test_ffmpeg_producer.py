@@ -264,3 +264,47 @@ sys.stdin.buffer.read(1024)  # accept a token amount, then die
         await asyncio.sleep(0.1)
 
     run(main())
+
+
+def test_real_binary_against_committed_fixture():
+    """When a REAL ffmpeg/ffprobe pair exists on PATH, drive the full
+    probe -> dispatch -> decode -> audio path against the committed
+    real-media fixture (tests/fixtures/tone_bars.avi: 8x v210 96x16 +
+    stereo float tone); skip cleanly otherwise (VERDICT r2 item 10)."""
+    import shutil
+    import subprocess
+    from pathlib import Path
+
+    ffprobe = shutil.which("ffprobe")
+    ffmpeg = shutil.which("ffmpeg")
+    if not (ffprobe and ffmpeg):
+        pytest.skip("no real ffmpeg/ffprobe on PATH")
+    try:  # stub binaries from other tests don't take -version
+        subprocess.run([ffmpeg, "-version"], capture_output=True, timeout=10, check=True)
+    except Exception:
+        pytest.skip("ffmpeg on PATH is not a real binary")
+
+    from phaneron_tpu.producer.ffmpeg import FFmpegProducer
+    from phaneron_tpu.runtime.stream import END
+
+    fx = Path(__file__).parent / "fixtures" / "tone_bars.avi"
+    fmt = VideoFormat("tiny", 1, 96, 16, 96, 50, 1, 48000, 2)
+
+    async def drive():
+        prod = FFmpegProducer("1-1", LoadParams(url=str(fx)), fmt)
+        await prod.initialise()
+        vs = prod.video_stream()
+        frames = []
+        while True:
+            f = await vs.next()
+            if f is END:
+                break
+            frames.append(f)
+        aus = prod.audio_stream()
+        a0 = await aus.next()
+        prod.release()
+        return frames, a0
+
+    frames, a0 = run(drive())
+    assert len(frames) >= 8
+    assert a0 is not END and float(np.abs(np.asarray(a0.samples)).max()) > 0.01
