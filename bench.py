@@ -72,25 +72,72 @@ def chain_ms(step, x0, n_small=8, n_large=64, floor_bytes=0):
 def composite_step(w, h, pallas: bool, interpret: bool = False):
     """The real serving shape: 4 layers, each with an axis-aligned DVE
     warp and a dissolve between two v210 sources, over-composited and
-    packed back to v210."""
+    packed back to v210.
+
+    Sources enter in the form producers actually upload — host-split
+    (4, H, G) word planes (formats.v210.host_split_planes).  All 8
+    source slots and all 4 matrices are DISTINCT device buffers —
+    feeding one buffer to every slot lets trace-level dedup and XLA CSE
+    collapse the 8 unpacks and 4 warps to one of each, silently
+    measuring an eighth of the real serving work.  The packed output
+    couples into slot 0 of the next chain frame as a single-bit xor: a
+    real data dependency (frame k+1 cannot start before frame k's pack
+    completes) that is NOT constant-foldable (a *0 coupling lets XLA
+    dead-code the entire frame out of the chain)."""
     from phaneron_tpu.graph.pipeline import ChannelSpec, LayerSpec, make_channel_program
+    from phaneron_tpu.ops.formats import get_format, host_split
     from phaneron_tpu.ops.geometry import transform_matrix
     from phaneron_tpu.ops.pallas_warp import bucket_of
 
     m = transform_matrix(w, h, scale_x=0.9, scale_y=0.9, offset_x=0.02)
-    mj = jax.device_put(jnp.asarray(m))
+    bucket = bucket_of(m)
+    mats = []
+    for i in range(4):
+        mi = transform_matrix(
+            w, h, scale_x=0.9, scale_y=0.9, offset_x=0.02 + 0.003 * i
+        )
+        assert bucket_of(mi) == bucket
+        mats.append(jax.device_put(jnp.asarray(mi)))
+    v210 = get_format("v210")
+    # static sources in the form each path consumes: host-split planes
+    # for the Pallas stage kernels, interleaved words for the XLA path
+    base = np.asarray(
+        host_split(v210, v210.fill_buf(w, h))[0] if pallas else v210.fill_buf(w, h)[0]
+    )
+    statics = [
+        jax.device_put(np.roll(base, 11 * (k + 1), axis=1)) for k in range(7)
+    ]
     layer = LayerSpec(
         "v210", transition="dissolve", has_transform=True, axis_aligned=True,
-        src_b_format="v210", warp_bucket=bucket_of(m) if pallas else -1,
+        src_b_format="v210", warp_bucket=bucket if pallas else -1,
     )
     spec = ChannelSpec(w, h, "v210", layers=(layer,) * 4, pallas_stages=pallas)
     prog = make_channel_program(spec)
 
+    @jax.jit
     def step(x):
-        lp = {"src": [x], "src_b": [x], "matrix": mj, "mix": jnp.float32(0.5)}
-        return prog({"layers": [dict(lp) for _ in range(4)]})[0]
+        srcs = [x] + statics
+        layers = [
+            {
+                "src": [srcs[2 * i]],
+                "src_b": [srcs[2 * i + 1]],
+                "matrix": mats[i],
+                "mix": jnp.float32(0.4 + 0.05 * i),
+            }
+            for i in range(4)
+        ]
+        out = prog({"layers": layers})[0]
+        return x ^ (out.reshape(-1)[0] & jnp.uint32(1))
 
     return step
+
+
+def v210_planes(w, h):
+    """Device source in producer upload form: host-split word planes."""
+    from phaneron_tpu.ops.formats import get_format, host_split
+
+    v210 = get_format("v210")
+    return jax.device_put(host_split(v210, v210.fill_buf(w, h))[0])
 
 
 def main():
@@ -105,8 +152,8 @@ def main():
     interpret = jax.default_backend() == "cpu"
 
     v210 = get_format("v210")
-    uhd_src = jax.device_put(np.asarray(v210.fill_buf(3840, 2160)[0]))
-    hd_src = jax.device_put(np.asarray(v210.fill_buf(1920, 1080)[0]))
+    uhd_src = v210_planes(3840, 2160)
+    hd_src = v210_planes(1920, 1080)
 
     # 1. HEADLINE: UHD 4-layer DVE+dissolve composite (8 unpacks, 8
     # Pallas warps, dissolves, over-composite, v210 pack)
@@ -118,7 +165,7 @@ def main():
     # independent chain measurements estimates true device time.  The
     # HBM floor (8 v210 reads + 1 write is the least possible traffic)
     # guards the min against broken-measurement artifacts.
-    uhd4_floor = 9 * uhd_src.nbytes
+    uhd4_floor = 11 * uhd_src.nbytes  # 8 reads + 1 write + coupling xor r/w
     uhd4_ms = min(
         chain_ms(step, uhd_src, n_small=4, n_large=24, floor_bytes=uhd4_floor)[0],
         chain_ms(step, uhd_src, n_small=4, n_large=24, floor_bytes=uhd4_floor)[0],
@@ -126,9 +173,11 @@ def main():
     uhd4_fps = 1000.0 / uhd4_ms
     log(f"UHD 4-layer DVE+dissolve: {uhd4_ms:.3f} ms/frame -> {uhd4_fps:.0f} fps")
 
-    # 1b. same composite on the pure-XLA path (gather warps)
+    # 1b. same composite on the pure-XLA path (gather warps); fed the
+    # interleaved-words form that path natively consumes
+    uhd_words = jax.device_put(np.asarray(v210.fill_buf(3840, 2160)[0]))
     xla_step = composite_step(3840, 2160, pallas=False, interpret=interpret)
-    uhd4x_ms, _ = chain_ms(xla_step, uhd_src, n_small=2, n_large=10)
+    uhd4x_ms, _ = chain_ms(xla_step, uhd_words, n_small=2, n_large=10)
     log(f"UHD 4-layer (XLA path): {uhd4x_ms:.3f} ms/frame -> {1000/uhd4x_ms:.0f} fps")
 
     # 1c. HD 4-layer composite (BASELINE config 3)
@@ -186,16 +235,19 @@ def main():
     scale_ms, _ = chain_ms(scaler, sd, n_small=8, n_large=48)
     log(f"scaler 720p->1080p->720p pair: {scale_ms:.3f} ms")
 
-    # 3. single-layer opaque v210 PASSTHROUGH (the trivial case, labelled)
+    # 3. single-layer opaque v210 PASSTHROUGH (the trivial case,
+    # labelled).  Words in -> words out: the chain feeds outputs back
+    # as inputs directly.
+    hd_words = jax.device_put(np.asarray(v210.fill_buf(1920, 1080)[0]))
     fused = make_fused_v210_program(3840, 2160, interpret=interpret)
-    uhd_bytes = 2 * uhd_src.nbytes + 4 * uhd_src.nbytes
-    uhd_ms, _ = chain_ms(lambda x: fused([x]), uhd_src, floor_bytes=uhd_bytes)
+    uhd_bytes = 2 * uhd_words.nbytes + 4 * uhd_words.nbytes
+    uhd_ms, _ = chain_ms(lambda x: fused([x]), uhd_words, floor_bytes=uhd_bytes)
     log(f"UHD passthrough (fused, single opaque layer): {uhd_ms:.3f} ms -> "
         f"{1000/uhd_ms:.0f} fps")
     hd_fused = make_fused_v210_program(1920, 1080, interpret=interpret)
-    hd_bytes = 6 * hd_src.nbytes
+    hd_bytes = 6 * hd_words.nbytes
     hdf_ms, _ = chain_ms(
-        lambda x: hd_fused([x]), hd_src, n_small=32, n_large=256, floor_bytes=hd_bytes
+        lambda x: hd_fused([x]), hd_words, n_small=32, n_large=256, floor_bytes=hd_bytes
     )
 
     # 4. pipeline latency p99 (the north star: <10 ms through
@@ -231,7 +283,7 @@ def main():
         return float(np.percentile(samples, 50)), float(np.percentile(samples, 99))
 
     pipe_p50, pipe_p99 = pipeline_percentiles(
-        hd_step, hd_src, 4, 16, 40, 9 * hd_src.nbytes
+        hd_step, hd_src, 4, 16, 40, 11 * hd_src.nbytes
     )
     log(f"HD 4-layer pipeline latency: p50 {pipe_p50:.2f} ms  p99 {pipe_p99:.2f} ms "
         f"(per-sample RTT-cancelled chain pairs)")

@@ -90,6 +90,12 @@ _PLANAR420 = ("yuv420p", "nv12")
 def _unpack(fmt_name: str, planes, spec: ChannelSpec, size=None):
     fmt = get_format(fmt_name)
     w, h = size if size is not None else (spec.width, spec.height)
+    if fmt_name == "v210" and not spec.pallas_stages and planes[0].ndim == 3:
+        # host-split word planes reaching an XLA-path program (format
+        # fallback): restore the interleaved form the format op expects
+        from ..ops.pallas_kernels import planes_to_words
+
+        planes = [planes_to_words(planes[0])]
     if fmt_name == "v210" and spec.pallas_stages:
         from ..ops.pallas_kernels import make_v210_unpack_rgba
 
@@ -152,6 +158,14 @@ def _fit_channel(rgba: jnp.ndarray, spec: ChannelSpec) -> jnp.ndarray:
 # The Pallas DVE warp: scale-bucketed DMA windows keep its HBM reads at
 # ~1.1-1.5x the consumed rows, well ahead of the XLA gather warp.
 ENABLE_PALLAS_WARP = True
+
+# The all-layers-in-one composite kernel (ops.pallas_composite).  OFF by
+# default: with host-split word-plane sources the staged path (stage
+# unpack + fused pair warps + combine) measures FASTER on hardware than
+# the current kernel, whose per-chunk column gather is VPU-bound.  The
+# kernel stays correct (tests force this flag) and is the target for
+# further fusion work; flip when it beats the staged path end-to-end.
+ENABLE_FUSED_COMPOSITE = False
 
 
 def _pick_warp(lspec: LayerSpec, spec: ChannelSpec):
@@ -254,11 +268,19 @@ def _fused_composite(spec: ChannelSpec, params: dict) -> jnp.ndarray:
     prog = make_composite_program(
         spec.height, spec.width, layer_cfg, spec.col_spec, spec.out_col_spec
     )
+    def as_planes(wa):
+        # host-split (4, H, G) word planes or interleaved (H, G*4) words
+        return (
+            wa.astype(jnp.uint32)
+            if wa.ndim == 3
+            else words_to_planes(wa.astype(jnp.uint32))
+        )
+
     srcs, mats, mixes = [], [], []
     for ls, lp in zip(spec.layers, params["layers"]):
-        srcs.append(words_to_planes(lp["src"][0].astype(jnp.uint32)))
+        srcs.append(as_planes(lp["src"][0]))
         if ls.transition == "dissolve":
-            srcs.append(words_to_planes(lp["src_b"][0].astype(jnp.uint32)))
+            srcs.append(as_planes(lp["src_b"][0]))
             mixes.append(jnp.asarray(lp["mix"], jnp.float32))
         else:
             mixes.append(jnp.float32(1.0))
@@ -271,7 +293,7 @@ def _channel_frame(spec: ChannelSpec, params: dict):
     (and the composited RGBA when spec.emit_rgba)."""
     h, w = spec.height, spec.width
     use_fused = False
-    if spec.pallas_stages:
+    if spec.pallas_stages and ENABLE_FUSED_COMPOSITE:
         from ..ops.pallas_composite import composite_supported
 
         use_fused = composite_supported(spec)
@@ -394,6 +416,11 @@ def make_unpack_program(
 
     @jax.jit
     def program(planes):
+        if fmt_name == "v210" and planes[0].ndim == 3:
+            # host-split word planes (formats.v210.host_split_planes)
+            from ..ops.pallas_kernels import planes_to_words
+
+            planes = [planes_to_words(planes[0])]
         return fio.to_rgba(fmt, planes, loader, width, height)
 
     return program

@@ -21,8 +21,9 @@ __all__ = ["dummy_params", "prewarm", "prewarm_jit"]
 
 def _plane_structs(fmt_name: str, width: int, height: int):
     fmt = get_format(fmt_name)
+    shapes_fn = getattr(fmt, "device_plane_shapes", fmt.plane_shapes)
     return [
-        jax.ShapeDtypeStruct(shape, dtype) for shape, dtype in fmt.plane_shapes(width, height)
+        jax.ShapeDtypeStruct(shape, dtype) for shape, dtype in shapes_fn(width, height)
     ]
 
 

@@ -32,3 +32,11 @@ def get_format(name: str):
     if name not in FORMATS:
         raise KeyError(f"unsupported pixel format '{name}'")
     return FORMATS[name]
+
+
+def host_split(fmt_mod, planes):
+    """Producer-side upload form: formats whose device kernels want a
+    host relayout (v210's word-plane deinterleave) expose
+    host_split_planes; everything else uploads as-is."""
+    fn = getattr(fmt_mod, "host_split_planes", None)
+    return fn(planes) if fn is not None else planes

@@ -59,6 +59,25 @@ def from_bytes(data: bytes | np.ndarray, width: int, height: int) -> list[np.nda
     return [arr.reshape(height, pitch_bytes(width) // 4)]
 
 
+def device_plane_shapes(width: int, height: int) -> list[tuple[tuple[int, int, int], np.dtype]]:
+    """Shape of the arrays producers actually upload (the host-split
+    word-plane form) — what prewarm must compile against."""
+    return [((4, height, pitch_bytes(width) // 16), np.dtype(np.uint32))]
+
+
+def host_split_planes(planes: list[np.ndarray]) -> list[np.ndarray]:
+    """Interleaved (H, G*4) words -> (4, H, G) word planes, ON THE HOST
+    (native byte shuffle).  Device-side this transpose is a ~2.3 ms XLA
+    relayout at UHD — done per source per frame it dominated the whole
+    channel program — while on the ingest thread it is a memcpy-speed
+    shuffle that overlaps compute.  The device unpack/composite kernels
+    accept either form (shape dispatch)."""
+    from ...utils import hostio
+
+    (words,) = planes
+    return [hostio.v210_deinterleave(np.ascontiguousarray(words))]
+
+
 def unpack_codes(
     planes: list[jnp.ndarray], width: int, height: int
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:

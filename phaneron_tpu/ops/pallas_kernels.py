@@ -210,6 +210,120 @@ def _make_kernel(spec_key):
 # ---------------------- stage kernels (usable inside XLA programs) ----
 
 
+def _v210_spatial_weights():
+    """Constant one-hot matrices for the in-kernel phase->spatial
+    deinterleave.  Output pixel x = 128j + k lives at luma phase x%6,
+    group x//6; because 128 ≡ 2 (mod 6) the (phase, group-offset)
+    pattern of a 128-column chunk repeats with period THREE in j — the
+    whole deinterleave is 3 small constant matrices.  Chroma (4:2:2,
+    nearest upsample u[x] = u_half[x//2], upsample_422 semantics) has
+    its own period-3 family; cb and cr share it.  Every output column
+    selects exactly ONE input row, so the bf16 hi/lo code split
+    reconstructs the 10-bit integer codes EXACTLY (hi rounds to ±4,
+    lo = code - hi is a small integer, both bf16-exact)."""
+    import numpy as np
+
+    wy = np.zeros((3, 6 * 24, 128), np.float32)
+    wc = np.zeros((3, 3 * 24, 128), np.float32)
+    for m in range(3):
+        r0 = (2 * m) % 6  # (128j) mod 6 for j ≡ m (mod 3)
+        r0c = m % 3  # (64j) mod 3
+        for k in range(128):
+            x = r0 + k  # 6*i + p relative to group base (128j)//6
+            wy[m, (x % 6) * 24 + x // 6, k] = 1.0
+            cidx = r0c + k // 2  # 3*i + s relative to base (64j)//3
+            wc[m, (cidx % 3) * 24 + cidx // 3, k] = 1.0
+    return wy, wc
+
+
+@lru_cache(maxsize=None)
+def _make_v210_spatial_unpack(
+    width: int,
+    height: int,
+    col_spec: str,
+    out_col_spec: str,
+    interpret: bool,
+):
+    """v210 word planes -> linear RGBA (4, H, W) in ONE kernel, with
+    the phase->spatial deinterleave done on the MXU via constant
+    one-hot matmuls (exact; see _v210_spatial_weights).  Replaces the
+    old phase-output + XLA-transpose formulation, whose (4,6,H,G) ->
+    (4,H,W) relayout cost ~0.9 ms per UHD source — ~8 ms of the 4-layer
+    dissolve serving shape's frame budget.  Requires width % 128 == 0
+    (every broadcast raster: 1280/1920/3840/7680)."""
+    assert width % 128 == 0
+    g = v210fmt.pitch(width) // 6
+    g2 = g + 24  # zero tail so the last chunks' static slices stay in-bounds
+    n_chunks = width // 128
+    col_fwd = _literals(cm.ycbcr2rgb_matrix(col_spec, 10, 64, 940, 896))
+    gamut = _literals(cm.rgb2rgb_matrix(col_spec, out_col_spec))
+    g2l, _ = _gamma_fns(col_spec, out_col_spec)
+    # row block: multiple of 8 (Mosaic sublane rule); caller gates
+    r = next(c for c in (40, 32, 24, 16, 8) if height % c == 0)
+
+    def kernel(p0, p1, p2, p3, wy_ref, wc_ref, out_ref, vals):
+        ys, cbs, crs = _unpack_phases(p0[:], p1[:], p2[:], p3[:])
+        vals[:, :, :, g:] = jnp.zeros((2, 12, r, g2 - g), jnp.bfloat16)
+        for q, plane in enumerate(list(ys) + list(cbs) + list(crs)):
+            x = plane.astype(jnp.float32)
+            hi = x.astype(jnp.bfloat16)
+            vals[0, q, :, :g] = hi
+            vals[1, q, :, :g] = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        out_ref[3] = jnp.ones((r, width), jnp.float32)
+
+        def deint(qs, base, w):
+            fh = jnp.concatenate(
+                [vals[0, q, :, base : base + 24] for q in qs], axis=1
+            )
+            fl = jnp.concatenate(
+                [vals[1, q, :, base : base + 24] for q in qs], axis=1
+            )
+            return jnp.dot(fh, w, preferred_element_type=jnp.float32) + jnp.dot(
+                fl, w, preferred_element_type=jnp.float32
+            )
+
+        for j in range(n_chunks):
+            wy = wy_ref[j % 3]
+            wc = wc_ref[j % 3]
+            b, bc = (128 * j) // 6, (64 * j) // 3
+            ysp = deint(range(6), b, wy)
+            usp = deint(range(6, 9), bc, wc)
+            vsp = deint(range(9, 12), bc, wc)
+            rgb = _decode_yuv(ysp, usp, vsp, col_fwd, gamut, g2l)
+            for c in range(3):
+                out_ref[c, :, 128 * j : 128 * (j + 1)] = rgb[c]
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(height // r,),
+        in_specs=[
+            pl.BlockSpec((r, g), lambda i: (i, 0), memory_space=pltpu.VMEM)
+            for _ in range(4)
+        ]
+        + [
+            pl.BlockSpec((3, 144, 128), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 72, 128), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (4, r, width), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((4, height, width), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((2, 12, r, g2), jnp.bfloat16)],
+        interpret=interpret,
+    )
+    # keep the weights as NUMPY in the closure: this builder is reached
+    # lazily inside jit traces (lru_cache), and a jnp.asarray created
+    # under a trace is a tracer — caching it leaks it into later traces
+    wy_np, wc_np = _v210_spatial_weights()
+
+    def unpack_planes(planes):
+        wy_j = jnp.asarray(wy_np, jnp.bfloat16)
+        wc_j = jnp.asarray(wc_np, jnp.bfloat16)
+        return call(planes[0], planes[1], planes[2], planes[3], wy_j, wc_j)
+
+    return unpack_planes
+
+
 @lru_cache(maxsize=None)
 def make_v210_unpack_rgba(
     width: int,
@@ -222,7 +336,9 @@ def make_v210_unpack_rgba(
     """v210 words -> linear RGBA (4, H, W) as one Pallas kernel plus a
     phase->spatial relayout.  Drop-in replacement for the XLA unpack
     inside larger jitted programs (tracing through pallas_call is fine);
-    ~5x faster than the XLA formulation at 1080p."""
+    ~5x faster than the XLA formulation at 1080p.  Widths % 128 == 0
+    route to the fully-fused spatial kernel (_make_v210_spatial_unpack,
+    no XLA relayout at all)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     g = v210fmt.pitch(width) // 6
@@ -273,12 +389,26 @@ def make_v210_unpack_rgba(
         interpret=interpret,
     )
 
+    spatial = (
+        _make_v210_spatial_unpack(width, height, col_spec, out_col_spec, interpret)
+        if width % 128 == 0 and any(height % c == 0 for c in (40, 32, 24, 16, 8))
+        else None
+    )
+
     def unpack(words: jnp.ndarray) -> jnp.ndarray:
-        planes = words_to_planes(words.astype(jnp.uint32))
+        # (H, G*4) interleaved words, or (4, H, G) word planes already
+        # split on the host (formats.v210.host_split_planes — the
+        # device-side transpose is a ~2.3 ms relayout at UHD)
+        if words.ndim == 3:
+            planes = words.astype(jnp.uint32)
+        else:
+            planes = words_to_planes(words.astype(jnp.uint32))
+        if spatial is not None:
+            return spatial(planes)
         phases = call(planes[0], planes[1], planes[2], planes[3])
         # (4, 6, H, G) -> (4, H, G, 6) -> (4, H, pitch) -> crop to width
-        spatial = phases.transpose(0, 2, 3, 1).reshape(4, height, g * 6)
-        return spatial[:, :, :width]
+        flat = phases.transpose(0, 2, 3, 1).reshape(4, height, g * 6)
+        return flat[:, :, :width]
 
     return unpack
 
@@ -770,7 +900,11 @@ def make_fused_v210_program(
         if transition == "dissolve":
             args.append(jnp.asarray(mix, jnp.float32).reshape(1, 1))
         for wa in word_arrays:
-            planes = words_to_planes(wa.astype(jnp.uint32))
+            planes = (
+                wa.astype(jnp.uint32)
+                if wa.ndim == 3
+                else words_to_planes(wa.astype(jnp.uint32))
+            )
             args.extend(planes[i] for i in range(4))
         outs = call(*args)
         return planes_to_words(jnp.stack(outs))

@@ -235,6 +235,8 @@ class FFmpegProducer(Producer):
         """Unpadded rawvideo frame bytes -> pitched plane arrays."""
         import jax
 
+        from ..ops.formats import get_format, host_split
+
         planes = []
         off = 0
         for rows, cols, dtype, pitch in self._unpadded:
@@ -243,8 +245,9 @@ class FFmpegProducer(Producer):
                 rows, cols
             )
             off += n
-            planes.append(jax.device_put(_pad_plane(arr, pitch)))
-        return planes
+            planes.append(_pad_plane(arr, pitch))
+        planes = host_split(get_format(self.pix_format), planes)
+        return [jax.device_put(p) for p in planes]
 
     def video_stream(self) -> Stream:
         length = self.params.length
@@ -275,13 +278,14 @@ class FFmpegProducer(Producer):
                 w, h = self.width, self.height
                 import jax
 
-                from ..ops.formats import get_format
+                from ..ops.formats import get_format, host_split
 
                 # true-black codes, NOT zeros: zero YUV decodes below
                 # black with an extreme Cb/Cr excursion (visible green)
+                fmt_mod = get_format(self.pix_format)
                 black = [
                     jax.device_put(p)
-                    for p in get_format(self.pix_format).black_buf(w, h)
+                    for p in host_split(fmt_mod, fmt_mod.black_buf(w, h))
                 ]
                 while not self.released and (length is None or ts < length):
                     if self.aproc is not None and self.aproc.returncode is not None:

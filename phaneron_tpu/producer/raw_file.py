@@ -136,6 +136,9 @@ class RawFileProducer(Producer):
         off = index * self.frame_bytes
         raw = bytes(self._mm[off : off + self.frame_bytes])
         planes = self._fmt_mod.from_bytes(raw, self.width, self.height)
+        from ..ops.formats import host_split
+
+        planes = host_split(self._fmt_mod, planes)
         arrays = [jax.device_put(p) for p in planes]
         if self._cache_ok:
             self._device_cache[index] = arrays

@@ -107,9 +107,15 @@ class TestPatternProducer(Producer):
                 return pack(_pattern_rgba(kind, w, h, phase))
 
             for i in range(self.n_phases):
-                self._frames.append(
-                    packed_phase(jnp.float32(i / max(self.n_phases * 8, 1)))
-                )
+                frame = packed_phase(jnp.float32(i / max(self.n_phases * 8, 1)))
+                if self.pix_format == "v210":
+                    # cache in word-plane form: the channel program's
+                    # unpack takes (4, H, G) without the per-frame
+                    # device transpose (ops.formats.v210.host_split_planes)
+                    from ..ops.pallas_kernels import words_to_planes
+
+                    frame = [jax.jit(words_to_planes)(frame[0])]
+                self._frames.append(frame)
             jax.block_until_ready(self._frames[-1])
 
         await asyncio.to_thread(build)

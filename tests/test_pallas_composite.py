@@ -98,9 +98,12 @@ def test_composite_windowed_path_uhd_width():
     assert np.abs(want - got).max() <= 4e-4, np.abs(want - got).max()  # pair-warp error class at this geometry (see test_pallas_warp)
 
 
-def test_channel_program_routes_through_fused_composite():
+def test_channel_program_routes_through_fused_composite(monkeypatch):
     """A supported spec's channel program matches the XLA path to <=1
     packed code, end to end (unpack->composite->pack)."""
+    from phaneron_tpu.graph import pipeline as pl_mod
+
+    monkeypatch.setattr(pl_mod, "ENABLE_FUSED_COMPOSITE", True)
     v210 = get_format("v210")
     m = transform_matrix(W, H, scale_x=0.85, scale_y=0.85)
     layer = LayerSpec(
