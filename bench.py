@@ -205,13 +205,24 @@ def main():
     # period on a single chip — the scaling answer is scanline (sp)
     # sharding, which divides this linearly across chips (the multichip
     # dryrun proves warp halo correctness under sp sharding).
-    rot_m = jax.device_put(jnp.asarray(
-        transform_matrix(1920, 1080, rotate=0.05, scale_x=0.9, scale_y=0.9)))
+    rot_m_np = transform_matrix(1920, 1080, rotate=0.05, scale_x=0.9, scale_y=0.9)
+    rot_m = jax.device_put(jnp.asarray(rot_m_np))
     rng = np.random.default_rng(0)
     rot_src = jax.device_put(rng.random((4, 1080, 1920), dtype=np.float32))
     wa = jax.jit(warp_affine)
     rot_ms, _ = chain_ms(lambda x: wa(x, rot_m), rot_src, n_small=2, n_large=8)
     log(f"rotation warp (2-D gather) 1080p: {rot_ms:.3f} ms/frame")
+    # the served path: two-pass shear rotation (ops.pallas_rotate)
+    from phaneron_tpu.ops.pallas_rotate import make_rotate_program, rot_bucket_of
+
+    rb = rot_bucket_of(np.asarray(rot_m_np), 1920, 1080)
+    rotp = make_rotate_program(1080, 1920, rb, interpret=interpret)
+    rotp_ms, _ = chain_ms(
+        lambda x: rotp(x, rot_m), rot_src, n_small=8, n_large=40,
+        floor_bytes=4 * rot_src.nbytes,
+    )
+    log(f"rotation two-pass Pallas 1080p: {rotp_ms:.3f} ms/frame "
+        f"({rot_ms / rotp_ms:.1f}x the gather)")
 
     # 2c. BASELINE config 2: deinterlace (yadif over a 3-frame ring) and
     # the scaler (separable stretch-fit), 1080-class geometry
@@ -249,6 +260,37 @@ def main():
     hdf_ms, _ = chain_ms(
         lambda x: hd_fused([x]), hd_words, n_small=32, n_large=256, floor_bytes=hd_bytes
     )
+
+    # 3b. 8K (7680x4320): passthrough + single-layer DVE, honest
+    # single-chip figures; sp sharding divides device time ~linearly
+    # across chips (halo bit-equality proven by the multichip dryrun)
+    k8_words = jax.device_put(np.asarray(v210.fill_buf(7680, 4320)[0]))
+    k8_fused = make_fused_v210_program(7680, 4320, interpret=interpret)
+    k8_ms, _ = chain_ms(
+        lambda x: k8_fused([x]), k8_words, n_small=2, n_large=10,
+        floor_bytes=6 * k8_words.nbytes,
+    )
+    log(f"8K passthrough (fused): {k8_ms:.3f} ms -> {1000/k8_ms:.0f} fps")
+    k8_planes = v210_planes(7680, 4320)
+    m8 = transform_matrix(7680, 4320, scale_x=0.9, scale_y=0.9, offset_x=0.01)
+    m8j = jax.device_put(jnp.asarray(m8))
+    layer8 = LayerSpec(
+        "v210", has_transform=True, axis_aligned=True,
+        warp_bucket=bucket_of(m8) if not interpret else -1,
+    )
+    spec8 = ChannelSpec(7680, 4320, "v210", layers=(layer8,), pallas_stages=not interpret)
+    prog8 = make_channel_program(spec8)
+
+    @jax.jit
+    def k8_step(x):
+        out = prog8({"layers": [{"src": [x], "matrix": m8j}]})[0]
+        return x ^ (out.reshape(-1)[0] & jnp.uint32(1))
+
+    k8dve_ms, _ = chain_ms(
+        k8_step, k8_planes, n_small=2, n_large=10, floor_bytes=4 * k8_planes.nbytes
+    )
+    log(f"8K single-layer DVE channel: {k8dve_ms:.3f} ms -> {1000/k8dve_ms:.0f} fps; "
+        f"sp=4 projection {k8dve_ms/4:.2f} ms")
 
     # 4. pipeline latency p99 (the north star: <10 ms through
     # unpack -> composite -> pack).  Sampled as many short dependent
@@ -310,6 +352,10 @@ def main():
                     "uhd_4layer_pipeline_p50_ms": round(uhd_p50, 2),
                     "uhd_4layer_pipeline_p99_ms": round(uhd_p99, 2),
                     "rotation_gather_1080p_ms": round(rot_ms, 2),
+                    "rotation_pallas_1080p_ms": round(rotp_ms, 2),
+                    "k8_passthrough_fps": round(1000 / k8_ms, 1),
+                    "k8_1layer_dve_ms": round(k8dve_ms, 2),
+                    "k8_dve_sp4_projection_ms": round(k8dve_ms / 4, 2),
                     "yadif_1080i_field_ms": round(deint_ms, 3),
                     "scaler_720_1080_pair_ms": round(scale_ms, 3),
                     "device": str(dev),

@@ -60,6 +60,9 @@ class LayerSpec(NamedTuple):
     # -1 falls back to the XLA gather warp
     warp_same_mat: bool = True  # dissolve sources share one transform
     # (the common case): the fused pair kernel shares weight tables
+    rot_bucket: int = -1  # two-pass shear rotation bucket covering a
+    # NON-axis-aligned matrix (ops.pallas_rotate.rot_bucket_of); -1
+    # falls back to the XLA 2-D gather (~40 ms/frame at 1080p)
     src_size: Optional[tuple[int, int]] = None  # (w, h) when the source
     # geometry differs from the channel: unpack at source size, then
     # stretch-fit (the reference's normalized-coordinate sampling does
@@ -170,6 +173,13 @@ ENABLE_FUSED_COMPOSITE = False
 
 def _pick_warp(lspec: LayerSpec, spec: ChannelSpec):
     if not lspec.axis_aligned:
+        if ENABLE_PALLAS_WARP and spec.pallas_stages and lspec.rot_bucket >= 0:
+            from ..ops.pallas_rotate import make_rotate_program, rotate_fits
+
+            if rotate_fits(spec.height, spec.width, lspec.rot_bucket):
+                return make_rotate_program(
+                    spec.height, spec.width, lspec.rot_bucket
+                )
         return warp_affine
     if _use_pallas_warp(lspec, spec):
         from ..ops.pallas_warp import make_warp_program

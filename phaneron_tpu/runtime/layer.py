@@ -389,17 +389,26 @@ class Layer:
                 params["matrix_b"] = jnp.asarray(self.next.mixer.matrix)
 
             warp_bucket = -1
+            rot_bucket = -1
             same_mat = True
             if has_tf:
                 from ..ops.pallas_warp import bucket_of
 
                 warp_bucket = bucket_of(mixer.matrix, next_mixer.matrix)
                 same_mat = bool(np.array_equal(mixer.matrix, next_mixer.matrix))
+                if not both_axis_aligned:
+                    from ..ops.pallas_rotate import rot_bucket_of
+
+                    w, h = self.channel_fmt.width, self.channel_fmt.height
+                    rb1 = rot_bucket_of(np.asarray(mixer.matrix), w, h)
+                    rb2 = rot_bucket_of(np.asarray(next_mixer.matrix), w, h)
+                    rot_bucket = max(rb1, rb2) if min(rb1, rb2) >= 0 else -1
             spec_kwargs = dict(
                 transition=tr.type,
                 has_transform=has_tf,
                 axis_aligned=both_axis_aligned,
                 warp_bucket=warp_bucket,
+                rot_bucket=rot_bucket,
                 warp_same_mat=same_mat,
                 src_b_format=src_b_format,
             )
@@ -466,15 +475,25 @@ class Layer:
 
             params["matrix"] = jnp.asarray(mixer.matrix)
         warp_bucket = -1
+        rot_bucket = -1
         if has_tf:
             from ..ops.pallas_warp import bucket_of
 
             warp_bucket = bucket_of(mixer.matrix)
+            if not mixer.axis_aligned:
+                from ..ops.pallas_rotate import rot_bucket_of
+
+                rot_bucket = rot_bucket_of(
+                    np.asarray(mixer.matrix),
+                    self.channel_fmt.width,
+                    self.channel_fmt.height,
+                )
         spec = LayerSpec(
             **cur_fields,
             has_transform=has_tf,
             axis_aligned=mixer.axis_aligned,
             warp_bucket=warp_bucket,
+            rot_bucket=rot_bucket,
         )
         audio = await self.cur.audio_tick()
         stamp = self.cur.last.loadstamp if self.cur.last else None
