@@ -182,6 +182,27 @@ class BasicCmds:
             return producer.seek(int(params[1]))
         if op == "LOOP":
             return producer.set_loop(params[1] not in ("0", "false", "FALSE"))
+        if op in ("HIGHPASS", "ADELAY", "ACOMPRESSOR"):
+            # enable a filter from the reference's per-source audio
+            # graph (mixer.ts:146 ships them permanently disabled):
+            # CALL 1-1 HIGHPASS 120 | ADELAY 480 | ACOMPRESSOR 0.2 4
+            # | <name> OFF
+            mixer = layer.cur.mixer
+            if params[1].upper() == "OFF":
+                return mixer.clear_audio_filter(op.lower())
+            try:
+                if op == "HIGHPASS":
+                    return mixer.set_audio_filter(
+                        "highpass", frequency=float(params[1])
+                    )
+                if op == "ADELAY":
+                    return mixer.set_audio_filter("adelay", samples=int(params[1]))
+                kwargs = {"threshold": float(params[1])}
+                if len(params) > 2:
+                    kwargs["ratio"] = float(params[2])
+                return mixer.set_audio_filter("acompressor", **kwargs)
+            except ValueError:
+                return False
         return False
 
     async def swap(self, chan_lay: ChanLayer, params: list[str]) -> bool:

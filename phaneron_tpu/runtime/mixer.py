@@ -37,6 +37,7 @@ class Mixer:
         self.muted = False
         # per-channel pan levels (mixer.ts srcLevels, default unity)
         self.src_levels: np.ndarray | None = None
+        self.audio_filters = None  # FilterChain once a filter enables
         self._matrix: np.ndarray | None = None
 
     # ------------------------------------------------ video (DVE) params
@@ -111,18 +112,34 @@ class Mixer:
     def audio_gain(self) -> float:
         return 0.0 if self.muted else self.volume
 
-    def apply_audio(self, samples: np.ndarray) -> np.ndarray:
-        """Full per-source audio chain: pan levels then volume.
+    def set_audio_filter(self, name: str, **params) -> bool:
+        """Enable/replace one of the reference graph's filters
+        (highpass / adelay / acompressor) with real parameters — the
+        reference ships the surface permanently disabled (mixer.ts:146);
+        here CALL/API can switch it on.  Lazy import keeps the DSP off
+        the frame path for sources that never enable a filter."""
+        from ..audio.filters import FilterChain
 
-        The reference's graph is pan -> highpass -> adelay ->
-        acompressor -> aformat -> volume (mixer.ts:146), but highpass is
-        built with mix=0, adelay with delays='' and acompressor with
-        threshold=1:mix=0 — all NO-OPS (placeholders with no control
-        surface).  Pan + volume is therefore the complete effective
-        chain; fltp layout is this engine's native representation."""
+        if self.audio_filters is None:
+            self.audio_filters = FilterChain()
+        self.audio_filters.set(name, **params)
+        return True
+
+    def clear_audio_filter(self, name: str | None = None) -> bool:
+        if self.audio_filters is not None:
+            self.audio_filters.clear(name)
+        return True
+
+    def apply_audio(self, samples: np.ndarray) -> np.ndarray:
+        """Full per-source audio chain: pan -> [highpass -> adelay ->
+        acompressor] -> volume (the reference's graph order, mixer.ts:146;
+        the bracketed filters default OFF exactly as the reference
+        builds them disabled, but set_audio_filter can enable them)."""
         if self.src_levels is not None:
             n = min(len(self.src_levels), samples.shape[0])
             samples = samples.copy()
             samples[:n] *= self.src_levels[:n, None]
+        if self.audio_filters is not None and self.audio_filters.active:
+            samples = self.audio_filters.process(samples)
         gain = self.audio_gain()
         return samples if gain == 1.0 else samples * np.float32(gain)
