@@ -480,6 +480,133 @@ def make_v210_pack_rgba(
     return pack
 
 
+def _v210_pack_weights(g: int):
+    """Constant one-hot for the spatial -> phase gather of the pack
+    side.  A 128-group output chunk starting at group 128c covers
+    spatial lanes [768c, 768c+768); since 768 = 6*128 the relative
+    pattern is chunk-independent: output phase-lane (o, l) selects
+    spatial x_rel = 6l + o.  One (768, 6*128) matrix holds all six
+    offsets side by side; chroma (phases at even offsets 2s — cb and cr
+    share the even-pixel site, upsample_422's inverse) reuses the same
+    columns."""
+    import numpy as np
+
+    w6 = np.zeros((768, 6 * 128), np.float32)
+    for o in range(6):
+        for l in range(128):
+            w6[6 * l + o, o * 128 + l] = 1.0
+    return w6
+
+
+@lru_cache(maxsize=None)
+def make_v210_combine_pack(
+    width: int,
+    height: int,
+    n_layers: int,
+    out_col_spec: str = "709",
+    interpret: bool | None = None,
+):
+    """N-layer premultiplied 'over' + v210 pack in ONE kernel.
+
+    The staged tail of the channel program (XLA combine -> pack kernel)
+    costs two launches and a full RGBA round trip (~2.3 ms at UHD);
+    this kernel over-accumulates the warped layers in VMEM
+    (combine.ts:47-59 semantics over the implicit black base), encodes
+    on spatial tiles, and does the spatial -> phase gather with the
+    constant one-hot of _v210_pack_weights on the MXU.  f32 selection
+    dots: exact for one-hot contractions, and immune to the
+    bf16-pair-merge issue (see ops/pallas_rotate.py).  Gated on
+    width % 48 == 0 and groups % 128 == 0 (UHD / 8K)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    g = v210fmt.pitch(width) // 6
+    assert width % 48 == 0 and g % 128 == 0 and n_layers >= 1
+    col_bwd = _literals(cm.rgb2ycbcr_matrix(out_col_spec, 10, 64, 940, 896))
+    _, l2g = _gamma_fns(out_col_spec, out_col_spec)
+    r = next(c for c in (16, 8) if height % c == 0)
+    n_gchunks = g // 128
+
+    def kernel(*refs):
+        ins = refs[:n_layers]
+        w6_ref = refs[n_layers]
+        o0, o1, o2, o3 = refs[n_layers + 1 : n_layers + 5]
+        (codes,) = refs[n_layers + 5 :]
+
+        # ---- over-accumulate (acc starts at the black base = zeros)
+        first = ins[0][:, :, :]
+        rgb = [first[c] for c in range(3)]
+        for l in range(1, n_layers):
+            layer = ins[l][:, :, :]
+            k = 1.0 - layer[3]
+            rgb = [rgb[c] * k + layer[c] for c in range(3)]
+
+        # ---- encode on spatial tiles; 10-bit codes split as
+        # 4*hi8 + lo2 (hi8 <= 255 and lo2 <= 3 are both bf16-exact, and
+        # the DIFFERENT scalar multipliers make the two selection dots
+        # impossible to merge into one lossy bf16 sum — see
+        # ops/pallas_rotate.py for the merge hazard)
+        y, u, v = _encode_rgb(rgb[0], rgb[1], rgb[2], col_bwd, l2g, 0x3FF)
+        for q, plane in enumerate((y, u, v)):
+            codes[0, q] = (plane >> 2).astype(jnp.float32).astype(jnp.bfloat16)
+            codes[1, q] = (plane & 3).astype(jnp.float32).astype(jnp.bfloat16)
+
+        # ---- spatial -> phase gather + word assembly per group chunk
+        # (fori_loop, not a Python loop: 5 unrolled chunks of dots +
+        # word assembly at UHD made the Mosaic lowering take minutes)
+        def one_chunk(c):
+            s0 = pl.multiple_of(c * 768, 128)
+            hi8 = codes[0, :, :, pl.ds(s0, 768)].reshape(3 * r, 768)
+            lo2 = codes[1, :, :, pl.ds(s0, 768)].reshape(3 * r, 768)
+            prod = 4.0 * jnp.dot(
+                hi8, w6_ref[:, :], preferred_element_type=jnp.float32
+            ) + jnp.dot(
+                lo2, w6_ref[:, :], preferred_element_type=jnp.float32
+            )  # (3r, 768): rows [y|u|v], cols = 6 offsets x 128 groups
+            def at(row, off):
+                # Mosaic has no f32->u32 cast; the codes are exact
+                # small integers, so s32 is a safe stop-over
+                v = prod[row * r : (row + 1) * r, off * 128 : (off + 1) * 128]
+                return v.astype(jnp.int32).astype(jnp.uint32)
+
+            yp = [at(0, p) for p in range(6)]
+            up = [at(1, 2 * s) for s in range(3)]
+            vp = [at(2, 2 * s) for s in range(3)]
+            sl = pl.ds(pl.multiple_of(c * 128, 128), 128)
+            o0[:, sl] = (vp[0] << 20) | (yp[0] << 10) | up[0]
+            o1[:, sl] = (yp[2] << 20) | (up[1] << 10) | yp[1]
+            o2[:, sl] = (up[2] << 20) | (yp[3] << 10) | vp[1]
+            o3[:, sl] = (yp[5] << 20) | (vp[2] << 10) | yp[4]
+
+        jax.lax.fori_loop(0, n_gchunks, lambda c, _: (one_chunk(c), 0)[1], 0)
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(height // r,),
+        in_specs=[
+            pl.BlockSpec((4, r, width), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+            for _ in range(n_layers)
+        ]
+        + [pl.BlockSpec((768, 768), lambda i: (0, 0), memory_space=pltpu.VMEM)],
+        out_specs=[
+            pl.BlockSpec((r, g), lambda i: (i, 0), memory_space=pltpu.VMEM)
+            for _ in range(4)
+        ],
+        out_shape=[jax.ShapeDtypeStruct((height, g), jnp.uint32) for _ in range(4)],
+        scratch_shapes=[pltpu.VMEM((2, 3, r, width), jnp.bfloat16)],
+        interpret=interpret,
+    )
+    w6_np = _v210_pack_weights(g)
+
+    def combine_pack(frames: list) -> jnp.ndarray:
+        """frames: warped layer RGBA (4, H, W), bottom..top (the black
+        base is implicit).  -> interleaved v210 words (H, G*4)."""
+        w6 = jnp.asarray(w6_np, jnp.bfloat16)
+        outs = call(*frames, w6)
+        return planes_to_words(jnp.stack(outs))
+
+    return combine_pack
+
+
 @lru_cache(maxsize=None)
 def make_planar422_unpack_rgba(
     fmt_name: str,

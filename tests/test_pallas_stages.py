@@ -145,3 +145,49 @@ def test_channel_program_planar420_stages(fmt_name):
     b = make_channel_program(staged)({"layers": [{"src": src}]})
     for pa, pb in zip(a, b):
         assert np.asarray(pa).tobytes() == np.asarray(pb).tobytes()
+
+
+def test_fused_combine_pack_tail_matches_staged():
+    """UHD-geometry channel program routes the combine+pack tail into
+    one kernel; output matches the XLA path <=1 packed code."""
+    import jax.numpy as jnp
+
+    from phaneron_tpu.graph.pipeline import (
+        ChannelSpec,
+        LayerSpec,
+        make_channel_program,
+    )
+    from phaneron_tpu.ops.formats import get_format
+    from phaneron_tpu.ops.geometry import transform_matrix
+    from phaneron_tpu.ops.pallas_warp import bucket_of
+
+    w, h = 3840, 16  # g = 640 (128-multiple): the fused-tail geometry
+    v210 = get_format("v210")
+    srcs = [
+        np.roll(np.asarray(v210.fill_buf(w, h)[0]), 5 * k, axis=1) for k in range(3)
+    ]
+    m = transform_matrix(w, h, scale_x=0.9, scale_y=0.9, offset_x=0.01)
+    layer = LayerSpec(
+        "v210", transition="dissolve", src_b_format="v210",
+        has_transform=True, axis_aligned=True, warp_bucket=bucket_of(m),
+    )
+    single = LayerSpec("v210")
+    spec = ChannelSpec(w, h, "v210", layers=(layer, single), pallas_stages=True)
+    base = spec._replace(
+        pallas_stages=False,
+        layers=tuple(l._replace(warp_bucket=-1) for l in spec.layers),
+    )
+    params = {
+        "layers": [
+            {"src": [srcs[0]], "src_b": [srcs[1]], "matrix": jnp.asarray(m),
+             "mix": jnp.float32(0.4)},
+            {"src": [srcs[2]]},
+        ]
+    }
+    a = np.asarray(make_channel_program(spec)(params)[0])
+    b = np.asarray(make_channel_program(base)(params)[0])
+    for qa, qb in zip(
+        v210.unpack_codes([jnp.asarray(a)], w, h),
+        v210.unpack_codes([jnp.asarray(b)], w, h),
+    ):
+        assert np.abs(np.asarray(qa).astype(int) - np.asarray(qb).astype(int)).max() <= 1
