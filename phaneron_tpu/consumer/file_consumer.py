@@ -48,6 +48,8 @@ class FileConsumer(Consumer):
         # count the skipped frames — broadcast recording semantics)
         self.on_full = self.params.get("on_full", "block")
         self.dropped = 0
+        self.container_avi = False
+        self._avi = None
         self._fh = None
         self._wav = None
         self._frames = 0
@@ -77,24 +79,53 @@ class FileConsumer(Consumer):
             field = jax.ShapeDtypeStruct((4, fmt.height, fmt.width), jnp.float32)
             prewarm_jit(self._pack_pair, field, field)
         self.path.parent.mkdir(parents=True, exist_ok=True)
-        self._fh = open(self.path, "wb")
-        sidecar = {
-            "format": self.pix_format,
-            "width": fmt.width,
-            "height": fmt.height,
-            "fps": fmt.fps / (2 if fmt.interlaced else 1),
-            "interlaced": fmt.interlaced,
-        }
-        Path(str(self.path) + ".json").write_text(json.dumps(sidecar))
+        from ..ops.formats import get_format
+
+        frame_bytes = sum(get_format(self.pix_format).num_bytes(fmt.width, fmt.height))
+        # .avi paths wrap the same packed frames in a real container
+        # (utils.avi.AviWriter, streaming) with embedded float PCM —
+        # openable by standard tools AND replayable by AviProducer
+        self.container_avi = self.path.suffix.lower() == ".avi"
+        if self.container_avi:
+            from ..utils.avi import AviWriter
+
+            if self.audio_path:
+                raise ValueError(
+                    "AVI output embeds its audio; audio_path sidecar WAV "
+                    "is only for raw-file output"
+                )
+            fourcc = {"v210": "v210", "bgra8": "BI_RGB", "bgra": "BI_RGB"}.get(
+                self.pix_format
+            )
+            if fourcc is None:
+                raise ValueError(
+                    f"AVI container supports v210/bgra8, not {self.pix_format}"
+                )
+            self._avi = AviWriter(
+                self.path, fourcc, fmt.width, fmt.height,
+                fmt.fps / (2 if fmt.interlaced else 1), frame_bytes,
+                bit_count=32 if fourcc == "BI_RGB" else 20,
+                audio_channels=fmt.audio_channels,
+                audio_rate=fmt.audio_sample_rate,
+            )
+            self._fh = self._avi._fh  # non-None marks the consumer open
+        else:
+            self._avi = None
+            self._fh = open(self.path, "wb")
+            sidecar = {
+                "format": self.pix_format,
+                "width": fmt.width,
+                "height": fmt.height,
+                "fps": fmt.fps / (2 if fmt.interlaced else 1),
+                "interlaced": fmt.interlaced,
+            }
+            Path(str(self.path) + ".json").write_text(json.dumps(sidecar))
         if self.audio_path:
             self._wav = wave.open(str(self.audio_path), "wb")
             self._wav.setnchannels(fmt.audio_channels)
             self._wav.setsampwidth(2)
             self._wav.setframerate(fmt.audio_sample_rate)
 
-        from ..ops.formats import get_format
-
-        frame_bytes = sum(get_format(self.pix_format).num_bytes(fmt.width, fmt.height))
         self._ring = StagingRing(frame_bytes, slots=8)
         self._threads = [
             threading.Thread(target=self._fetch_loop, name="file-fetch", daemon=True),
@@ -123,7 +154,12 @@ class FileConsumer(Consumer):
             planes = self._pack_pair(top, frame.rgba)
             pcms = [top_pcm, pcms[0]]
             self._pending_field = None
-        item = (planes, self._frames)
+        # audio rides WITH the video item: the fetch thread enqueues it
+        # into _audio_q immediately before staging the frame, so the
+        # writer can never observe a frame whose audio hasn't arrived
+        # (enqueueing audio here from the event-loop thread raced the
+        # writer's get_nowait), and a dropped frame drops its audio too
+        item = (planes, pcms)
         try:
             self._q.put_nowait(item)
         except queue.Full:
@@ -133,11 +169,12 @@ class FileConsumer(Consumer):
             # bounded backpressure off the event loop: the channel goes
             # late honestly instead of the loop blocking on a fetch
             await asyncio.to_thread(self._q.put, item)
-        for pcm in pcms:
-            self._audio_q.put(pcm)
         self._frames += 1
 
     def _audio_pcm(self, frame: ChannelFrame) -> bytes | None:
+        if self.container_avi:
+            # embedded float PCM chunks, interleaved per frame
+            return np.ascontiguousarray(frame.audio.T, dtype="<f4").tobytes()
         if self._wav is None:
             return None
         pcm = np.clip(frame.audio.T, -1.0, 1.0 - 2**-15)
@@ -191,14 +228,18 @@ class FileConsumer(Consumer):
                         b"".join(stacks[i][k].tobytes() for i in range(n_planes))
                         for k in range(n)
                     ]
-                for data in datas:
+                for (data, frame_item) in zip(datas, part):
+                    # audio FIRST, then the frame: the writer pairs them
+                    # by popping after a successful ring read
+                    for pcm in frame_item[1]:
+                        self._audio_q.put(pcm)
                     while not self._ring.try_write(data):
                         if self._stop.is_set():
                             return
                         self._stop.wait(0.001)
 
     def _write_loop(self) -> None:
-        """Staging ring -> disk (+ WAV audio, kept in frame order)."""
+        """Staging ring -> disk (+ audio, kept in frame order)."""
         while True:
             buf = self._ring.try_read() if self._ring else None
             if buf is None:
@@ -206,8 +247,22 @@ class FileConsumer(Consumer):
                     return
                 self._stop.wait(0.001)
                 continue
-            self._fh.write(buf.tobytes() if isinstance(buf, np.ndarray) else buf)
-            self._drain_audio()
+            data = buf.tobytes() if isinstance(buf, np.ndarray) else buf
+            if self.container_avi:
+                # audio was queued before the frame entered the fetch
+                # pipeline (deliver order), so its chunks are ready;
+                # interlaced writes carry both fields' audio
+                pcm = b""
+                for _ in range(2 if self.interlaced else 1):
+                    try:
+                        got = self._audio_q.get_nowait()
+                    except queue.Empty:
+                        break
+                    pcm += got or b""
+                self._avi.write_frame(data, pcm or None)
+            else:
+                self._fh.write(data)
+                self._drain_audio()
 
     def _drain_audio(self) -> None:
         # audio arrives per delivered frame (per FIELD when interlaced —
@@ -233,11 +288,15 @@ class FileConsumer(Consumer):
         if len(self._threads) > 1:
             self._threads[1].join(timeout=30)
         self._threads = []
-        self._drain_audio()
+        if not self.container_avi:
+            self._drain_audio()
         if self._ring is not None:
             self._ring.close()
             self._ring = None
-        self._fh.close()
+        if self.container_avi:
+            self._avi.close()  # patches RIFF/movi sizes + frame counts
+        else:
+            self._fh.close()
         self._fh = None
         if self._wav:
             self._wav.close()

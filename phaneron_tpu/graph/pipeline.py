@@ -318,21 +318,14 @@ def _channel_frame(spec: ChannelSpec, params: dict):
         # over-accumulate + encode + spatial->phase gather (UHD/8K
         # geometries; emit_rgba channels need the composited frame and
         # keep the staged tail)
-        if (
-            spec.out_format == "v210"
-            and spec.pallas_stages
-            and not spec.emit_rgba
-            and layer_frames
-            and w % 48 == 0
-            and (w + 47 - ((w - 1) % 48)) // 6 % 128 == 0
-            and any(h % c == 0 for c in (16, 8))
-        ):
-            from ..ops.pallas_kernels import make_v210_combine_pack
+        if spec.out_format == "v210" and spec.pallas_stages and not spec.emit_rgba:
+            from ..ops.pallas_kernels import combine_pack_fits, make_v210_combine_pack
 
-            pack_fn = make_v210_combine_pack(
-                w, h, len(layer_frames), spec.out_col_spec
-            )
-            return [pack_fn(layer_frames)]
+            if layer_frames and combine_pack_fits(w, h, len(layer_frames)):
+                pack_fn = make_v210_combine_pack(
+                    w, h, len(layer_frames), spec.out_col_spec
+                )
+                return [pack_fn(layer_frames)]
         black = jnp.zeros((4, h, w), dtype=jnp.float32)  # Black generator
         composited = combine([black] + layer_frames)
     if spec.out_format == "v210" and spec.pallas_stages:

@@ -264,11 +264,14 @@ def _make_v210_spatial_unpack(
     def kernel(p0, p1, p2, p3, wy_ref, wc_ref, out_ref, vals):
         ys, cbs, crs = _unpack_phases(p0[:], p1[:], p2[:], p3[:])
         vals[:, :, :, g:] = jnp.zeros((2, 12, r, g2 - g), jnp.bfloat16)
+        # 10-bit codes ride as 4*hi8 + lo2: both halves are bf16-exact,
+        # and the DISTINCT multipliers below make the two selection dots
+        # impossible for Mosaic to merge into one lossy bf16 sum (the
+        # hazard documented in ops/pallas_rotate.py — a plain hi/lo
+        # split with a shared weight matrix is merge-bait)
         for q, plane in enumerate(list(ys) + list(cbs) + list(crs)):
-            x = plane.astype(jnp.float32)
-            hi = x.astype(jnp.bfloat16)
-            vals[0, q, :, :g] = hi
-            vals[1, q, :, :g] = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            vals[0, q, :, :g] = (plane >> 2).astype(jnp.float32).astype(jnp.bfloat16)
+            vals[1, q, :, :g] = (plane & 3).astype(jnp.float32).astype(jnp.bfloat16)
         out_ref[3] = jnp.ones((r, width), jnp.float32)
 
         def deint(qs, base, w):
@@ -278,9 +281,9 @@ def _make_v210_spatial_unpack(
             fl = jnp.concatenate(
                 [vals[1, q, :, base : base + 24] for q in qs], axis=1
             )
-            return jnp.dot(fh, w, preferred_element_type=jnp.float32) + jnp.dot(
-                fl, w, preferred_element_type=jnp.float32
-            )
+            return 4.0 * jnp.dot(
+                fh, w, preferred_element_type=jnp.float32
+            ) + jnp.dot(fl, w, preferred_element_type=jnp.float32)
 
         for j in range(n_chunks):
             wy = wy_ref[j % 3]
@@ -498,6 +501,35 @@ def _v210_pack_weights(g: int):
     return w6
 
 
+_CPK_VMEM_BUDGET = 13 * 1024 * 1024
+
+
+def _combine_pack_config(width: int, height: int, n_layers: int):
+    """Row block for the fused combine+pack kernel, bounded by VMEM
+    (every layer's block is resident; many-layer channels must fall
+    back to the staged tail rather than fail to compile mid-serve)."""
+    g = v210fmt.pitch(width) // 6
+    if width % 48 or g % 128 or n_layers < 1:
+        return None
+    for r in (16, 8):
+        if height % r:
+            continue
+        blocks = 2 * n_layers * 4 * r * width * 4  # double-buffered inputs
+        outs = 2 * 4 * r * g * 4
+        codes = 2 * 3 * r * width * 2
+        w6 = 768 * 768 * 2
+        if blocks + outs + codes + w6 <= _CPK_VMEM_BUDGET:
+            return r
+    return None
+
+
+def combine_pack_fits(width: int, height: int, n_layers: int) -> bool:
+    """Gate for pipeline routing: geometry AND VMEM must both admit the
+    fused tail (mirrors warp_fits / rotate_fits ownership: the kernel
+    module owns its own feasibility rule)."""
+    return _combine_pack_config(width, height, n_layers) is not None
+
+
 @lru_cache(maxsize=None)
 def make_v210_combine_pack(
     width: int,
@@ -520,10 +552,10 @@ def make_v210_combine_pack(
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     g = v210fmt.pitch(width) // 6
-    assert width % 48 == 0 and g % 128 == 0 and n_layers >= 1
+    r = _combine_pack_config(width, height, n_layers)
+    assert r is not None, "caller gates on combine_pack_fits"
     col_bwd = _literals(cm.rgb2ycbcr_matrix(out_col_spec, 10, 64, 940, 896))
     _, l2g = _gamma_fns(out_col_spec, out_col_spec)
-    r = next(c for c in (16, 8) if height % c == 0)
     n_gchunks = g // 128
 
     def kernel(*refs):

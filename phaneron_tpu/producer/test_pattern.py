@@ -106,15 +106,18 @@ class TestPatternProducer(Producer):
             def packed_phase(phase):
                 return pack(_pattern_rgba(kind, w, h, phase))
 
+            # cache in word-plane form: the channel program's unpack
+            # takes (4, H, G) without the per-frame device transpose
+            # (ops.formats.v210.host_split_planes); one jit wrapper
+            # reused for all phases (a fresh wrapper per phase pays a
+            # cold dispatch cache each time on the remote backend)
+            from ..ops.pallas_kernels import words_to_planes
+
+            to_planes = jax.jit(words_to_planes)
             for i in range(self.n_phases):
                 frame = packed_phase(jnp.float32(i / max(self.n_phases * 8, 1)))
                 if self.pix_format == "v210":
-                    # cache in word-plane form: the channel program's
-                    # unpack takes (4, H, G) without the per-frame
-                    # device transpose (ops.formats.v210.host_split_planes)
-                    from ..ops.pallas_kernels import words_to_planes
-
-                    frame = [jax.jit(words_to_planes)(frame[0])]
+                    frame = [to_planes(frame[0])]
                 self._frames.append(frame)
             jax.block_until_ready(self._frames[-1])
 

@@ -28,7 +28,7 @@ from typing import Optional
 
 import numpy as np
 
-__all__ = ["AviInfo", "AviVideo", "AviAudio", "read_avi", "write_avi"]
+__all__ = ["AviInfo", "AviVideo", "AviAudio", "read_avi", "write_avi", "AviWriter"]
 
 
 @dataclass
@@ -59,6 +59,67 @@ class AviInfo:
 
 def _u32(b: bytes, off: int) -> int:
     return struct.unpack_from("<I", b, off)[0]
+
+
+def _chunk_bytes(ck: bytes, body: bytes) -> bytes:
+    pad = b"\x00" if len(body) & 1 else b""
+    return ck + struct.pack("<I", len(body)) + body + pad
+
+
+def _list_bytes(kind: bytes, body: bytes) -> bytes:
+    return _chunk_bytes(b"LIST", kind + body)
+
+
+def _build_header(
+    fourcc: str,
+    width: int,
+    height: int,
+    fps: float,
+    frame_bytes: int,
+    bit_count: int,
+    n_frames: int,
+    audio_channels: int,
+    audio_rate: int,
+    audio_samples: int,
+) -> bytes:
+    """RIFF header through the hdrl LIST (single source of the layout
+    for both the one-shot writer and the streaming AviWriter; the
+    latter writes it with zero counts and patches on close)."""
+    scale, rate = 1000, int(round(fps * 1000))
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        int(1e6 / fps), frame_bytes * int(fps), 0, 0x10, n_frames, 0,
+        2 if audio_channels else 1, frame_bytes, width, height, 0, 0, 0, 0,
+    )
+    strh_v = struct.pack(
+        "<4s4sIHHIIIIIIiI4H",
+        b"vids", fourcc.encode().ljust(4), 0, 0, 0, 0, scale, rate, 0, n_frames,
+        frame_bytes, -1, 0, 0, 0, width & 0xFFFF, height & 0xFFFF,
+    )
+    comp = b"\x00\x00\x00\x00" if fourcc == "BI_RGB" else fourcc.encode().ljust(4)
+    strf_v = struct.pack(
+        "<IiiHH4sIiiII",
+        40, width, -height if fourcc == "BI_RGB" else height, 1, bit_count,
+        comp, frame_bytes, 0, 0, 0, 0,
+    )
+    hdrl = _chunk_bytes(b"avih", avih) + _list_bytes(
+        b"strl", _chunk_bytes(b"strh", strh_v) + _chunk_bytes(b"strf", strf_v)
+    )
+    if audio_channels:
+        block_align = audio_channels * 4
+        strh_a = struct.pack(
+            "<4s4sIHHIIIIIIiI4H",
+            b"auds", b"\x00\x00\x00\x00", 0, 0, 0, 0, 1, audio_rate, 0,
+            audio_samples, audio_rate * block_align, -1, block_align, 0, 0, 0, 0,
+        )
+        strf_a = struct.pack(
+            "<HHIIHH", 3, audio_channels, audio_rate,
+            audio_rate * block_align, block_align, 32,
+        )
+        hdrl += _list_bytes(
+            b"strl", _chunk_bytes(b"strh", strh_a) + _chunk_bytes(b"strf", strf_a)
+        )
+    return b"RIFF\x00\x00\x00\x00AVI " + _list_bytes(b"hdrl", hdrl)
 
 
 def read_avi(path: str | Path) -> AviInfo:
@@ -175,62 +236,100 @@ def write_avi(
 ) -> None:
     """Write an uncompressed AVI (one vids stream, optional float PCM
     auds stream, audio interleaved per video frame)."""
-    scale, rate = 1000, int(round(fps * 1000))
     n = len(frames)
     sizes = {len(f) for f in frames}
     assert len(sizes) == 1, "uniform frame size required"
     frame_bytes = sizes.pop()
 
-    def chunk(ck: bytes, body: bytes) -> bytes:
-        pad = b"\x00" if len(body) & 1 else b""
-        return ck + struct.pack("<I", len(body)) + body + pad
-
-    def lst(kind: bytes, body: bytes) -> bytes:
-        return chunk(b"LIST", kind + body)
-
-    avih = struct.pack(
-        "<IIIIIIIIII4I",
-        int(1e6 / fps), frame_bytes * int(fps), 0, 0x10, n, 0,
-        2 if audio is not None else 1, frame_bytes, width, height, 0, 0, 0, 0,
-    )
-    strh_v = struct.pack(
-        "<4s4sIHHIIIIIIiI4H",
-        b"vids", fourcc.encode().ljust(4), 0, 0, 0, 0, scale, rate, 0, n,
-        frame_bytes, -1, 0, 0, 0, width & 0xFFFF, height & 0xFFFF,
-    )
-    comp = b"\x00\x00\x00\x00" if fourcc == "BI_RGB" else fourcc.encode().ljust(4)
-    strf_v = struct.pack(
-        "<IiiHH4sIiiII",
-        40, width, -height if fourcc == "BI_RGB" else height, 1, bit_count,
-        comp, frame_bytes, 0, 0, 0, 0,
-    )
-    hdrl = chunk(b"avih", avih) + lst(
-        b"strl", chunk(b"strh", strh_v) + chunk(b"strf", strf_v)
-    )
-
     aud_per_frame: list[bytes] = []
+    audio_channels = 0
+    audio_samples = 0
     if audio is not None:
-        ch, total = audio.shape
-        block_align = ch * 4
-        strh_a = struct.pack(
-            "<4s4sIHHIIIIIIiI4H",
-            b"auds", b"\x00\x00\x00\x00", 0, 0, 0, 0, 1, audio_rate, 0, total,
-            audio_rate * block_align, -1, block_align, 0, 0, 0, 0,
-        )
-        strf_a = struct.pack(
-            "<HHIIHH", 3, ch, audio_rate, audio_rate * block_align, block_align, 32
-        )
-        hdrl += lst(b"strl", chunk(b"strh", strh_a) + chunk(b"strf", strf_a))
-        per = total // n
+        audio_channels, audio_samples = audio.shape
+        per = audio_samples // n
         inter = np.ascontiguousarray(audio.T, dtype="<f4")  # (samples, ch)
         for k in range(n):
             aud_per_frame.append(inter[k * per : (k + 1) * per].tobytes())
 
+    header = _build_header(
+        fourcc, width, height, fps, frame_bytes, bit_count,
+        n, audio_channels, audio_rate, audio_samples,
+    )
     movi = b"movi"
     for k, f in enumerate(frames):
-        movi += chunk(b"00db", f)
+        movi += _chunk_bytes(b"00db", f)
         if aud_per_frame:
-            movi += chunk(b"01wb", aud_per_frame[k])
+            movi += _chunk_bytes(b"01wb", aud_per_frame[k])
+    body = header[8:] + _chunk_bytes(b"LIST", movi)
+    Path(path).write_bytes(b"RIFF" + struct.pack("<I", 4 + len(body)) + body)
 
-    riff = lst(b"hdrl", hdrl) + chunk(b"LIST", movi)
-    Path(path).write_bytes(b"RIFF" + struct.pack("<I", 4 + len(riff)) + b"AVI " + riff)
+
+class AviWriter:
+    """STREAMING uncompressed-AVI writer for live recording: header
+    with placeholder counts up front, movi chunks appended per frame,
+    sizes patched on close.  Video = one vids stream of fixed-size
+    frames; audio = optional float32 interleaved PCM chunks riding with
+    each frame ('01wb')."""
+
+    def __init__(
+        self,
+        path: str | Path,
+        fourcc: str,
+        width: int,
+        height: int,
+        fps: float,
+        frame_bytes: int,
+        bit_count: int = 20,
+        audio_channels: int = 0,
+        audio_rate: int = 48000,
+    ):
+        self._fh = open(path, "wb")
+        self.audio_channels = audio_channels
+        self._frames = 0
+        self._audio_samples = 0
+        header = _build_header(
+            fourcc, width, height, fps, frame_bytes, bit_count,
+            0, audio_channels, audio_rate, 0,
+        )
+        # patch offsets, discovered by scanning the built header
+        self._riff_size_at = 4
+        self._avih_frames_at = header.index(b"avih") + 8 + 16
+        strh_v_at = header.index(b"strh")
+        self._vid_len_at = strh_v_at + 8 + 32
+        if audio_channels:
+            strh_a_at = header.index(b"strh", strh_v_at + 1)
+            self._aud_len_at = strh_a_at + 8 + 32
+        self._fh.write(header)
+        self._movi_size_at = self._fh.tell() + 4
+        self._fh.write(b"LIST\x00\x00\x00\x00movi")
+
+    def _chunk(self, ck: bytes, body: bytes) -> None:
+        self._fh.write(ck + struct.pack("<I", len(body)))
+        self._fh.write(body)
+        if len(body) & 1:
+            self._fh.write(b"\x00")
+
+    def write_frame(self, video: bytes, audio_f32: bytes | None = None) -> None:
+        self._chunk(b"00db", video)
+        if audio_f32 and self.audio_channels:
+            self._chunk(b"01wb", audio_f32)
+            self._audio_samples += len(audio_f32) // (4 * self.audio_channels)
+        self._frames += 1
+
+    def close(self) -> None:
+        if self._fh is None:
+            return
+        end = self._fh.tell()
+
+        def patch(at: int, value: int) -> None:
+            self._fh.seek(at)
+            self._fh.write(struct.pack("<I", value))
+
+        patch(self._riff_size_at, end - 8)
+        patch(self._avih_frames_at, self._frames)
+        patch(self._vid_len_at, self._frames)
+        if self.audio_channels:
+            patch(self._aud_len_at, self._audio_samples)
+        patch(self._movi_size_at, end - self._movi_size_at - 4)
+        self._fh.close()
+        self._fh = None

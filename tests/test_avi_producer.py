@@ -147,3 +147,59 @@ def test_committed_fixture_parses():
     info = read_avi(fx)
     assert len(info.video.frames) == 8
     assert info.audio is not None
+
+
+def test_record_avi_and_replay_roundtrip(tmp_path):
+    """Record a live channel to an .avi (FileConsumer + AviWriter),
+    then re-ingest the SAME file with AviProducer — container-level
+    round trip, frames bit-exact, audio chunks present."""
+    from phaneron_tpu.consumer.file_consumer import FileConsumer
+    from phaneron_tpu.producer.producer import ProducerRegistry
+    from phaneron_tpu.producer.test_pattern import create_test_pattern_producer
+    from phaneron_tpu.runtime.channel import Channel
+
+    fmt = get_video_format("1080p5000")
+    from dataclasses import replace
+
+    tiny = replace(fmt, width=96, height=64)
+    out = tmp_path / "rec.avi"
+
+    async def record():
+        reg = ProducerRegistry([create_test_pattern_producer])
+        ch = Channel(1, tiny, reg)
+        cons = FileConsumer({"path": str(out), "format": "v210"})
+        await ch.add_consumer(cons)
+        assert await ch.load_source(1, LoadParams("BARS"))
+        assert ch.play(1)
+        frames = []
+        for _ in range(4):
+            frame = await ch.render_frame()
+            frames.append(np.asarray(frame.packed[0]).tobytes())
+            await cons.deliver(frame)
+        cons.release()
+        return frames
+
+    want = run_async(record())
+    info = read_avi(out)
+    assert len(info.video.frames) == 4
+    assert info.video.fourcc == "v210"
+    assert info.audio is not None and info.audio.format_tag == 3
+    raw = out.read_bytes()
+    for wf, (off, size) in zip(want, info.video.frames):
+        assert raw[off : off + size] == wf
+
+    async def replay():
+        prod = AviProducer("1-1", LoadParams(url=str(out)), tiny)
+        await prod.initialise()
+        vs = prod.video_stream()
+        got = []
+        while True:
+            f = await vs.next()
+            if f is END:
+                break
+            got.append(_words(f.payload))
+        prod.release()
+        return got
+
+    got = run_async(replay())
+    assert got == want
