@@ -545,10 +545,10 @@ def make_v210_combine_pack(
     this kernel over-accumulates the warped layers in VMEM
     (combine.ts:47-59 semantics over the implicit black base), encodes
     on spatial tiles, and does the spatial -> phase gather with the
-    constant one-hot of _v210_pack_weights on the MXU.  f32 selection
-    dots: exact for one-hot contractions, and immune to the
-    bf16-pair-merge issue (see ops/pallas_rotate.py).  Gated on
-    width % 48 == 0 and groups % 128 == 0 (UHD / 8K)."""
+    constant one-hot of _v210_pack_weights on the MXU (codes as
+    4*hi8 + lo2: exact and merge-proof, see the in-kernel comment).
+    Gated by combine_pack_fits: width % 48 == 0, groups % 128 == 0
+    (UHD / 8K) and a VMEM bound over the layer count."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     g = v210fmt.pitch(width) // 6

@@ -60,8 +60,12 @@ __all__ = ["make_rotate_program", "rot_bucket_of", "rotate_fits", "decompose"]
 PAD = 128  # zero lanes each side; absorbs borders and window alignment
 
 # (|a| scale bound, |b| shear-per-row bound, rows per block).  R stays
-# <= 9 select variants because rpb shrinks as |b| grows.
+# small because rpb shrinks as |b| grows; the 0.05 bucket exists
+# because broadcast DVE rotations are mostly a few degrees and the
+# select-variant count r_var = ceil(bb*(rpb-1))+2 is paid at the
+# BUCKET bound, not the actual angle.
 ROT_BUCKETS = (
+    (1.25, 0.05, 40),
     (1.25, 0.2, 40),
     (1.25, 0.5, 16),
     (1.25, 1.0, 8),
