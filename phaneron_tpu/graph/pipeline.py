@@ -298,6 +298,47 @@ def _fused_composite(spec: ChannelSpec, params: dict) -> jnp.ndarray:
     return prog(srcs, jnp.stack(mats), jnp.stack(mixes))
 
 
+# The all-layers warp+combine launch (pallas_warp.
+# make_layers_combine_program).  OFF: measured 13.1 ms vs 12.05 ms for
+# the per-layer pair launches at UHD 4-layer — with L matrices the
+# persistent column-weight cache (4.4 MB per matrix) no longer fits
+# VMEM, so the fused kernel rebuilds one-hot weights per (source,
+# chunk, block), ~2x the traffic+launch savings.  Same lesson as
+# ENABLE_FUSED_COMPOSITE: launch fusion loses when it forces per-block
+# weight rebuilds.  Kernel stays correct + tested for future use.
+ENABLE_LAYERS_COMBINE = False
+
+
+def _layers_combine_ok(spec: ChannelSpec) -> bool:
+    """Gate for the all-layers warp+combine launch: every layer must be
+    a bucketed axis-aligned DVE that is a cut or a same-matrix dissolve
+    at channel geometry (everything else keeps the per-layer path)."""
+    if not (
+        ENABLE_LAYERS_COMBINE
+        and ENABLE_PALLAS_WARP
+        and spec.pallas_stages
+        and spec.layers
+        and spec.width % 128 == 0
+        and spec.height % 8 == 0
+    ):
+        return False
+    for ls in spec.layers:
+        if ls.transition not in ("none", "dissolve"):
+            return False
+        if not (ls.has_transform and ls.axis_aligned and ls.warp_bucket >= 0):
+            return False
+        if ls.deinterlace or ls.src_size is not None:
+            return False
+        if ls.transition == "dissolve" and not ls.warp_same_mat:
+            return False
+    from ..ops.pallas_warp import layers_combine_fits
+
+    layer_cfg = tuple(2 if ls.transition == "dissolve" else 1 for ls in spec.layers)
+    return layers_combine_fits(
+        spec.height, spec.width, max(ls.warp_bucket for ls in spec.layers), layer_cfg
+    )
+
+
 def _channel_frame(spec: ChannelSpec, params: dict):
     """params = {'layers': [per-layer dicts bottom..top]} -> packed planes
     (and the composited RGBA when spec.emit_rgba)."""
@@ -309,6 +350,39 @@ def _channel_frame(spec: ChannelSpec, params: dict):
         use_fused = composite_supported(spec)
     if use_fused:
         composited = _fused_composite(spec, params)
+    elif _layers_combine_ok(spec):
+        # ALL layers in one spatial warp+combine launch (pallas_warp.
+        # make_layers_combine_program): per-layer pair-warp launches
+        # and their intermediate RGBA frames never touch HBM
+        from ..ops.pallas_warp import make_layers_combine_program
+
+        layer_cfg = tuple(
+            2 if ls.transition == "dissolve" else 1 for ls in spec.layers
+        )
+        srcs, mats, mixes = [], [], []
+        for ls, lp in zip(spec.layers, params["layers"]):
+            srcs.append(_unpack(ls.src_format, lp["src"], spec))
+            if ls.transition == "dissolve":
+                srcs.append(
+                    _unpack(ls.src_b_format or ls.src_format, lp["src_b"], spec)
+                )
+                mixes.append(jnp.asarray(lp["mix"], jnp.float32))
+            else:
+                mixes.append(jnp.float32(1.0))
+            mats.append(jnp.asarray(lp["matrix"], jnp.float32))
+        prog_lc = make_layers_combine_program(
+            h, w, max(ls.warp_bucket for ls in spec.layers), layer_cfg
+        )
+        composited = prog_lc(srcs, jnp.stack(mats), jnp.stack(mixes))
+        if spec.out_format == "v210" and not spec.emit_rgba:
+            from ..ops.pallas_kernels import combine_pack_fits, make_v210_combine_pack
+
+            if combine_pack_fits(w, h, 1):
+                # spatial encode+gather pack (no relayout); over(black,
+                # composited) with one layer is the identity
+                return [
+                    make_v210_combine_pack(w, h, 1, spec.out_col_spec)([composited])
+                ]
     else:
         layer_frames = [
             _process_layer(ls, lp, spec) for ls, lp in zip(spec.layers, params["layers"])

@@ -505,3 +505,294 @@ def make_wipe_pair_program(
     return _make_program(
         height, width, bucket, 2, 1 if same_mat else 2, interpret, pair_mode="wipe"
     )
+
+
+# ---------------------------------------------------------------------------
+# All layers in one launch: warp every (dissolve-pair | single) source and
+# over-composite them without materialising per-layer frames in HBM.
+# Inputs are POST-unpack spatial RGBA, so unlike ops/pallas_composite
+# (packed-source variant, VPU-bound on its phase-window gather) the
+# column machinery here is the proven spatial one of this module.
+# Replaces L pair-warp launches + the XLA combine: at UHD 4-layer that
+# is 3 fewer launches and ~1 GB less intermediate HBM traffic.
+
+
+def _layers_cfg(height: int, width: int, bucket: int, layer_cfg: tuple):
+    """rpb plan with the extra pair buffer accounted; None = fall back."""
+    bound, preferred = BUCKET_BOUNDS[bucket]
+    n_mat = len(layer_cfg)
+    win_c = min(_ceil_to(bound * (COL_CHUNK - 1) + 2 + (COL_CHUNK - 1), 128), width)
+    n_chunks = width // COL_CHUNK
+
+    def plan(rpb_pref: int, persist: bool):
+        rpb = _rows_per_block(height, rpb_pref)
+        win_r = min(_ceil_to(bound * (rpb - 1) + 10, 8), _ceil_to(height, 8))
+        win = 4 * win_r * width * 4
+        win2 = 4 * 2 * win_r * width * 2
+        rows = 2 * 4 * rpb * width * 2
+        out = 2 * 4 * rpb * width * 4
+        flat = 2 * 4 * rpb * win_c * 2
+        pair = 4 * rpb * width * 4
+        cw_slots = n_mat * n_chunks if persist else 1
+        cw = cw_slots * 2 * win_c * COL_CHUNK * 2
+        return _Cfg(rpb, win_r, win_c, persist), win + win2 + rows + out + flat + pair + cw
+
+    for rpb_pref in (preferred, 24, 16, 8):
+        cfg, bytes_ = plan(rpb_pref, True)
+        if bytes_ <= VMEM_BUDGET:
+            return cfg
+    for rpb_pref in (preferred, 24, 16, 8, 4, 2, 1):
+        cfg, bytes_ = plan(rpb_pref, False)
+        if bytes_ <= VMEM_BUDGET and cfg.rpb >= 8:
+            return cfg
+    return None
+
+
+def layers_combine_fits(height: int, width: int, bucket: int, layer_cfg: tuple) -> bool:
+    if bucket < 0 or width % COL_CHUNK or height % 8:
+        return False
+    return _layers_cfg(height, width, bucket, layer_cfg) is not None
+
+
+@lru_cache(maxsize=None)
+def make_layers_combine_program(
+    height: int,
+    width: int,
+    bucket: int,
+    layer_cfg: tuple,  # per layer bottom..top: n_src (1 = cut, 2 = dissolve pair)
+    interpret: bool | None = None,
+):
+    """fn(srcs, mats (L,3,3), mixes (L,)) -> composited (4, H, W).
+
+    ``srcs``: flat spatial RGBA frames, layers bottom..top, each layer
+    contributing n_src sources (a dissolve pair shares its matrix —
+    warp_same_mat).  Per layer: warp each source, mix the pair
+    (transition.ts:60-65), then premultiplied 'over' onto the running
+    composite (combine.ts:47-59; the black base is the implicit zero
+    start).  Error class: the pair-warp bf16 split (~2^-17)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    assert width % COL_CHUNK == 0
+    cfg = _layers_cfg(height, width, bucket, layer_cfg)
+    assert cfg is not None, "caller gates on layers_combine_fits"
+    rpb, win_r, win_c, persist_cw = cfg
+    n_blocks = height // rpb
+    n_chunks = width // COL_CHUNK
+    L = len(layer_cfg)
+    src_layer: list[int] = []
+    src_role: list[int] = []
+    for m, n_src in enumerate(layer_cfg):
+        for rrole in range(n_src):
+            src_layer.append(m)
+            src_role.append(rrole)
+    S = len(src_layer)
+
+    def kernel(*refs):
+        (row_off_ref, py_ref, px_ref, col_off_ref, mix_ref) = refs[:5]
+        src_refs = refs[5 : 5 + S]
+        out_ref = refs[5 + S]
+        (winbuf, win2, rows2, flat2, pairbuf, cw, sem) = refs[5 + S + 1 :]
+
+        i = pl.program_id(0)
+
+        def window_dma(block, s):
+            m = src_layer[s]
+            r0 = pl.multiple_of(row_off_ref[m, block], 8)
+            return pltpu.make_async_copy(
+                src_refs[s].at[:, pl.ds(r0, win_r), :], winbuf, sem
+            )
+
+        @pl.when(i == 0)
+        def _first():
+            window_dma(0, 0).start()
+
+        def build_cw(j, m, store):
+            c0 = pl.multiple_of(col_off_ref[m, j], COL_CHUNK)
+            o0 = pl.multiple_of(j * COL_CHUNK, COL_CHUNK)
+            pxc = px_ref[pl.ds(m, 1), pl.ds(o0, COL_CHUNK)]
+            x0 = jnp.floor(pxc)
+            fx = (pxc - x0).astype(jnp.float32)
+            x0i = x0.astype(jnp.int32)
+            cc = jax.lax.broadcasted_iota(jnp.int32, (win_c, COL_CHUNK), 0) + c0
+            v0 = jnp.where((x0i >= 0) & (x0i < width), 1.0 - fx, 0.0)
+            v1 = jnp.where((x0i + 1 >= 0) & (x0i + 1 < width), fx, 0.0)
+            w = jnp.where(cc == x0i, v0, 0.0) + jnp.where(cc == x0i + 1, v1, 0.0)
+            wh, wl = _hi_lo(w)
+            cw[store, 0] = wh
+            cw[store, 1] = wl
+
+        if persist_cw:
+
+            @pl.when(i == 0)
+            def _build_all():
+                for m in range(L):
+                    jax.lax.fori_loop(
+                        0,
+                        n_chunks,
+                        lambda j, _, m=m: (build_cw(j, m, m * n_chunks + j), 0)[1],
+                        0,
+                    )
+
+        def row_weights(m):
+            r0 = pl.multiple_of(row_off_ref[m, i], 8)
+            pyb = py_ref[:, pl.ds(m, 1)]
+            y0 = jnp.floor(pyb)
+            fy = (pyb - y0).astype(jnp.float32)
+            y0i = y0.astype(jnp.int32)
+            w0 = jnp.where((y0i >= 0) & (y0i < height), 1.0 - fy, 0.0)
+            w1 = jnp.where((y0i + 1 >= 0) & (y0i + 1 < height), fy, 0.0)
+            kk = jax.lax.broadcasted_iota(jnp.int32, (rpb, win_r), 1) + r0
+            rw = jnp.where(kk == y0i, w0, 0.0) + jnp.where(kk == y0i + 1, w1, 0.0)
+            return _hi_lo(rw)
+
+        def process_source(s):
+            m = src_layer[s]
+            role = src_role[s]
+            n_src = layer_cfg[m]
+            window_dma(i, s).wait()
+            for c in range(4):
+                vh, vl = _hi_lo(winbuf[c])
+                win2[0, c] = vh
+                win2[1, c] = vl
+            if s + 1 < S:
+                window_dma(i, s + 1).start()
+            else:
+
+                @pl.when(i + 1 < n_blocks)
+                def _():
+                    window_dma(i + 1, 0).start()
+
+            rwh, rwl = row_weights(m)
+            for c in range(4):
+                rows = (
+                    jnp.dot(rwh, win2[0, c], preferred_element_type=jnp.float32)
+                    + jnp.dot(rwl, win2[0, c], preferred_element_type=jnp.float32)
+                    + jnp.dot(rwh, win2[1, c], preferred_element_type=jnp.float32)
+                )
+                rh, rl = _hi_lo(rows)
+                rows2[0, c] = rh
+                rows2[1, c] = rl
+
+            mix = mix_ref[m, 0]
+            gain = (mix if role == 0 else 1.0 - mix) if n_src == 2 else 1.0
+            closes_layer = role == n_src - 1
+
+            def one_chunk(j):
+                o0 = pl.multiple_of(j * COL_CHUNK, COL_CHUNK)
+                if persist_cw:
+                    store = m * n_chunks + j
+                else:
+                    store = 0
+                    build_cw(j, m, 0)
+                c0 = pl.multiple_of(col_off_ref[m, j], COL_CHUNK)
+                flat2[0, :, :, :] = rows2[0, :, :, pl.ds(c0, win_c)]
+                flat2[1, :, :, :] = rows2[1, :, :, pl.ds(c0, win_c)]
+                fh = flat2[0].reshape(4 * rpb, win_c)
+                fl = flat2[1].reshape(4 * rpb, win_c)
+                chunk = (
+                    jnp.dot(fh, cw[store, 0], preferred_element_type=jnp.float32)
+                    + jnp.dot(fl, cw[store, 0], preferred_element_type=jnp.float32)
+                    + jnp.dot(fh, cw[store, 1], preferred_element_type=jnp.float32)
+                ).reshape(4, rpb, COL_CHUNK) * gain
+                sl = pl.ds(o0, COL_CHUNK)
+                if role > 0:
+                    chunk = pairbuf[:, :, sl] + chunk
+                if not closes_layer:
+                    pairbuf[:, :, sl] = chunk
+                    return
+                # fold the completed layer into the running composite
+                if m == 0:
+                    out_ref[:, :, sl] = chunk  # over black: identity
+                else:
+                    prev = out_ref[:, :, sl]
+                    k = 1.0 - chunk[3]
+                    for c in range(3):
+                        out_ref[c, :, sl] = prev[c] * k + chunk[c]
+                    out_ref[3, :, sl] = chunk[3]
+
+            unroll = 2 if n_chunks % 2 == 0 else 1
+
+            def chunk_body(j2, _):
+                for u in range(unroll):
+                    one_chunk(j2 * unroll + u)
+                return 0
+
+            jax.lax.fori_loop(0, n_chunks // unroll, chunk_body, 0)
+
+        for s in range(S):
+            process_source(s)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # row_off (L, n_blocks)
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((rpb, L), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # px (L, W)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # col_off (L, n_chunks)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # mix (L, 1)
+        ]
+        + [pl.BlockSpec(memory_space=pl.ANY) for _ in range(S)],
+        out_specs=pl.BlockSpec(
+            (4, rpb, width), lambda i, *_: (0, i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((4, win_r, width), jnp.float32),
+            pltpu.VMEM((2, 4, win_r, width), jnp.bfloat16),
+            pltpu.VMEM((2, 4, rpb, width), jnp.bfloat16),
+            pltpu.VMEM((2, 4, rpb, win_c), jnp.bfloat16),
+            pltpu.VMEM((4, rpb, width), jnp.float32),
+            pltpu.VMEM(
+                ((L * n_chunks if persist_cw else 1), 2, win_c, COL_CHUNK),
+                jnp.bfloat16,
+            ),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((4, height, width), jnp.float32),
+        interpret=interpret,
+    )
+
+    def prologue(mats):
+        ix = (jnp.arange(width, dtype=jnp.float32) / width) - 0.5
+        iy = (jnp.arange(height, dtype=jnp.float32) / height) - 0.5
+        pxs, pys, row_offs, col_offs = [], [], [], []
+        for mat in mats:
+            px = (mat[0, 0] * ix + mat[0, 2] + 0.5) * width - 0.5
+            py = (mat[1, 1] * iy + mat[1, 2] + 0.5) * height - 0.5
+            blocks = jnp.arange(n_blocks) * rpb
+            row_lo = jnp.minimum(py[blocks], py[blocks + rpb - 1])
+            row_offs.append(
+                jnp.clip(
+                    jnp.floor(row_lo).astype(jnp.int32) // 8 * 8,
+                    0,
+                    max(height - win_r, 0),
+                )
+            )
+            chunks = jnp.arange(n_chunks) * COL_CHUNK
+            col_lo = jnp.minimum(px[chunks], px[chunks + COL_CHUNK - 1])
+            col_offs.append(
+                jnp.clip(
+                    jnp.floor(col_lo).astype(jnp.int32) // COL_CHUNK * COL_CHUNK,
+                    0,
+                    max(width - win_c, 0),
+                )
+            )
+            pxs.append(px)
+            pys.append(py)
+        return (
+            jnp.stack(row_offs),
+            jnp.stack(pys, axis=-1),
+            jnp.stack(pxs),
+            jnp.stack(col_offs),
+        )
+
+    @jax.jit
+    def combine_layers(srcs, mats, mixes):
+        row_off, py, px, col_off = prologue([mats[m] for m in range(L)])
+        mix_arr = jnp.asarray(mixes, jnp.float32).reshape(L, 1)
+        return call(row_off, py, px, col_off, mix_arr, *srcs)
+
+    return combine_layers

@@ -222,3 +222,53 @@ def test_vmem_budget_all_formats_all_buckets():
                     h, w, bucket, n_mat,
                 )
     assert not warp_fits(64, 256, -1)
+
+
+def test_layers_combine_program_matches_staged(monkeypatch):
+    """All-layers warp+combine (one launch) vs the per-layer XLA path:
+    end-to-end packed output within <=1 code (pair-warp error class).
+    The path is gated OFF in production (see ENABLE_LAYERS_COMBINE);
+    this keeps the kernel correct for future use."""
+    from phaneron_tpu.graph import pipeline as pl_mod
+    from phaneron_tpu.graph.pipeline import _layers_combine_ok
+
+    monkeypatch.setattr(pl_mod, "ENABLE_LAYERS_COMBINE", True)
+
+    w, h = 256, 64
+    v210 = get_format("v210")
+    srcs = [
+        np.roll(np.asarray(v210.fill_buf(w, h)[0]), 3 * k, axis=0) for k in range(5)
+    ]
+    mats = [
+        transform_matrix(w, h, scale_x=s, scale_y=s, offset_x=0.01 * i)
+        for i, s in enumerate((0.9, 1.1, 0.85))
+    ]
+    bucket = bucket_of(*mats)
+    dis = LayerSpec(
+        "v210", transition="dissolve", src_b_format="v210",
+        has_transform=True, axis_aligned=True, warp_bucket=bucket,
+    )
+    cut = LayerSpec("v210", has_transform=True, axis_aligned=True, warp_bucket=bucket)
+    spec = ChannelSpec(w, h, "v210", layers=(dis, cut, dis), pallas_stages=True)
+    assert _layers_combine_ok(spec)
+    base = spec._replace(
+        pallas_stages=False,
+        layers=tuple(l._replace(warp_bucket=-1) for l in spec.layers),
+    )
+    params = {
+        "layers": [
+            {"src": [srcs[0]], "src_b": [srcs[1]], "matrix": jnp.asarray(mats[0]),
+             "mix": jnp.float32(0.35)},
+            {"src": [srcs[2]], "matrix": jnp.asarray(mats[1])},
+            {"src": [srcs[3]], "src_b": [srcs[4]], "matrix": jnp.asarray(mats[2]),
+             "mix": jnp.float32(0.75)},
+        ]
+    }
+    a = np.asarray(make_channel_program(spec)(params)[0])
+    b = np.asarray(make_channel_program(base)(params)[0])
+    for qa, qb in zip(
+        v210.unpack_codes([jnp.asarray(a)], w, h),
+        v210.unpack_codes([jnp.asarray(b)], w, h),
+    ):
+        d = np.abs(np.asarray(qa).astype(int) - np.asarray(qb).astype(int))
+        assert d.max() <= 1, d.max()
