@@ -133,9 +133,16 @@ def _saver_cached(fmt_name: str, col: str, mode: str):
     return make_saver(get_format(fmt_name).INFO, col, mode)
 
 
-def _layer_source(lspec: LayerSpec, fmt_name: str, src: dict, key: str, spec: ChannelSpec):
+def _layer_source(
+    lspec: LayerSpec, fmt_name: str, src: dict, key: str, spec: ChannelSpec,
+    pre: dict | None = None, li: int | None = None,
+):
     """Unpack one source slot; when deinterlacing, the runtime supplies an
-    unpacked 3-frame ring ('<key>_ring': (3, 4, H, W)) plus 'parity'."""
+    unpacked 3-frame ring ('<key>_ring': (3, 4, H, W)) plus 'parity'.
+    ``pre`` holds slots already unpacked by the batched single-launch
+    kernel (_batch_unpack_slots), keyed (layer index, slot key)."""
+    if pre is not None and (li, key) in pre:
+        return pre[(li, key)]
     if lspec.deinterlace and f"{key}_ring" in src:
         ring = src[f"{key}_ring"]
         rgba = yadif_frame(
@@ -209,8 +216,11 @@ def _use_pallas_warp(lspec: LayerSpec, spec: ChannelSpec) -> bool:
     )
 
 
-def _process_layer(lspec: LayerSpec, lparams: dict, spec: ChannelSpec) -> jnp.ndarray:
-    rgba = _layer_source(lspec, lspec.src_format, lparams, "src", spec)
+def _process_layer(
+    lspec: LayerSpec, lparams: dict, spec: ChannelSpec,
+    pre: dict | None = None, li: int | None = None,
+) -> jnp.ndarray:
+    rgba = _layer_source(lspec, lspec.src_format, lparams, "src", spec, pre, li)
 
     if lspec.transition == "dissolve" and lspec.has_transform and _use_pallas_warp(
         lspec, spec
@@ -219,7 +229,7 @@ def _process_layer(lspec: LayerSpec, lparams: dict, spec: ChannelSpec) -> jnp.nd
         from ..ops.pallas_warp import make_warp_pair_program
 
         fmt_b = lspec.src_b_format or lspec.src_format
-        rgba_b = _layer_source(lspec, fmt_b, lparams, "src_b", spec)
+        rgba_b = _layer_source(lspec, fmt_b, lparams, "src_b", spec, pre, li)
         pair = make_warp_pair_program(
             spec.height, spec.width, lspec.warp_bucket, lspec.warp_same_mat
         )
@@ -233,8 +243,11 @@ def _process_layer(lspec: LayerSpec, lparams: dict, spec: ChannelSpec) -> jnp.nd
         from ..ops.pallas_warp import make_wipe_pair_program
 
         fmt_b = lspec.src_b_format or lspec.src_format
-        rgba_b = _layer_source(lspec, fmt_b, lparams, "src_b", spec)
-        mask = _unpack(lspec.mask_format or lspec.src_format, lparams["mask"], spec)
+        rgba_b = _layer_source(lspec, fmt_b, lparams, "src_b", spec, pre, li)
+        if pre is not None and (li, "mask") in pre:
+            mask = pre[(li, "mask")]
+        else:
+            mask = _unpack(lspec.mask_format or lspec.src_format, lparams["mask"], spec)
         pair = make_wipe_pair_program(
             spec.height, spec.width, lspec.warp_bucket, lspec.warp_same_mat
         )
@@ -249,7 +262,7 @@ def _process_layer(lspec: LayerSpec, lparams: dict, spec: ChannelSpec) -> jnp.nd
         return rgba
 
     fmt_b = lspec.src_b_format or lspec.src_format
-    rgba_b = _layer_source(lspec, fmt_b, lparams, "src_b", spec)
+    rgba_b = _layer_source(lspec, fmt_b, lparams, "src_b", spec, pre, li)
     if lspec.has_transform:
         warp = _pick_warp(lspec, spec)
         rgba_b = warp(rgba_b, lparams.get("matrix_b", lparams["matrix"]))
@@ -259,7 +272,10 @@ def _process_layer(lspec: LayerSpec, lparams: dict, spec: ChannelSpec) -> jnp.nd
         return rgba * mix + rgba_b * (1.0 - mix)
 
     # wipe: blend by the mask source's R channel (transition.ts:66-74)
-    mask = _unpack(lspec.mask_format or lspec.src_format, lparams["mask"], spec)
+    if pre is not None and (li, "mask") in pre:
+        mask = pre[(li, "mask")]
+    else:
+        mask = _unpack(lspec.mask_format or lspec.src_format, lparams["mask"], spec)
     m = mask[0]
     return rgba_b * m + rgba * (1.0 - m)
 
@@ -339,6 +355,50 @@ def _layers_combine_ok(spec: ChannelSpec) -> bool:
     )
 
 
+
+def _batch_unpack_slots(spec: ChannelSpec, params: dict) -> dict:
+    """Unpack every eligible v210 source slot in ONE kernel launch
+    (pallas_kernels.make_v210_unpack_rgba_batch).  The serving shape's
+    8 per-source unpack launches carry ~0.2 ms of scheduling overhead
+    each; batching collapses them.  Slots stay on the per-layer path
+    when deinterlaced, off-geometry, or the batch doesn't fit VMEM."""
+    if not spec.pallas_stages:
+        return {}
+    from ..ops.pallas_kernels import (
+        batch_unpack_fits,
+        make_v210_unpack_rgba_batch,
+        words_to_planes,
+    )
+
+    slots = []
+    for li, (ls, lp) in enumerate(zip(spec.layers, params["layers"])):
+        if ls.deinterlace or ls.src_size is not None:
+            continue
+        cands = [("src", ls.src_format)]
+        if ls.transition in ("dissolve", "wipe"):
+            cands.append(("src_b", ls.src_b_format or ls.src_format))
+        if ls.transition == "wipe":
+            cands.append(("mask", ls.mask_format or ls.src_format))
+        for key, fmt in cands:
+            if fmt == "v210" and key in lp:
+                slots.append((li, key))
+    if len(slots) < 2 or not batch_unpack_fits(spec.width, spec.height, len(slots)):
+        return {}
+    fn = make_v210_unpack_rgba_batch(
+        spec.width, spec.height, len(slots), spec.col_spec, spec.out_col_spec
+    )
+    planes_lists = []
+    for li, key in slots:
+        wa = params["layers"][li][key][0]
+        planes_lists.append(
+            wa.astype(jnp.uint32)
+            if wa.ndim == 3
+            else words_to_planes(wa.astype(jnp.uint32))
+        )
+    rgbas = fn(planes_lists)
+    return {slot: rgba for slot, rgba in zip(slots, rgbas)}
+
+
 def _channel_frame(spec: ChannelSpec, params: dict):
     """params = {'layers': [per-layer dicts bottom..top]} -> packed planes
     (and the composited RGBA when spec.emit_rgba)."""
@@ -384,8 +444,10 @@ def _channel_frame(spec: ChannelSpec, params: dict):
                     make_v210_combine_pack(w, h, 1, spec.out_col_spec)([composited])
                 ]
     else:
+        pre = _batch_unpack_slots(spec, params)
         layer_frames = [
-            _process_layer(ls, lp, spec) for ls, lp in zip(spec.layers, params["layers"])
+            _process_layer(ls, lp, spec, pre, li)
+            for li, (ls, lp) in enumerate(zip(spec.layers, params["layers"]))
         ]
         # fused combine+pack tail: the XLA combine -> pack pair costs
         # two launches and a full RGBA round trip; one kernel does

@@ -237,12 +237,28 @@ def _v210_spatial_weights():
 
 
 @lru_cache(maxsize=None)
+def _spatial_unpack_rpb(height: int, width: int, n_srcs: int):
+    """Largest row block (multiple of 8) whose n_srcs in+out blocks fit
+    VMEM double-buffered; None = geometry unsupported."""
+    g = v210fmt.pitch(width) // 6
+    for r in (40, 32, 24, 16, 8):
+        if height % r:
+            continue
+        ins = 2 * n_srcs * 4 * r * g * 4
+        outs = 2 * n_srcs * 4 * r * width * 4
+        vals = 2 * 12 * r * (g + 24) * 2
+        if ins + outs + vals + 512 * 1024 <= 13 * 1024 * 1024:
+            return r
+    return None
+
+
 def _make_v210_spatial_unpack(
     width: int,
     height: int,
     col_spec: str,
     out_col_spec: str,
     interpret: bool,
+    n_srcs: int = 1,
 ):
     """v210 word planes -> linear RGBA (4, H, W) in ONE kernel, with
     the phase->spatial deinterleave done on the MXU via constant
@@ -250,7 +266,14 @@ def _make_v210_spatial_unpack(
     old phase-output + XLA-transpose formulation, whose (4,6,H,G) ->
     (4,H,W) relayout cost ~0.9 ms per UHD source — ~8 ms of the 4-layer
     dissolve serving shape's frame budget.  Requires width % 128 == 0
-    (every broadcast raster: 1280/1920/3840/7680)."""
+    (every broadcast raster: 1280/1920/3840/7680).
+
+    ``n_srcs`` > 1 unpacks SEVERAL sources in the one launch (separate
+    in/out refs, source loop in-kernel): the serving shape's 8 unpacks
+    collapse to one.  Measured NEUTRAL on single-channel UHD device
+    time (the inter-kernel gap the stage profile showed is not unpack
+    launch overhead); kept because fewer launches lowers scheduler
+    pressure when several channels share the chip."""
     assert width % 128 == 0
     g = v210fmt.pitch(width) // 6
     g2 = g + 24  # zero tail so the last chunks' static slices stay in-bounds
@@ -258,59 +281,79 @@ def _make_v210_spatial_unpack(
     col_fwd = _literals(cm.ycbcr2rgb_matrix(col_spec, 10, 64, 940, 896))
     gamut = _literals(cm.rgb2rgb_matrix(col_spec, out_col_spec))
     g2l, _ = _gamma_fns(col_spec, out_col_spec)
-    # row block: multiple of 8 (Mosaic sublane rule); caller gates
-    r = next(c for c in (40, 32, 24, 16, 8) if height % c == 0)
+    r = _spatial_unpack_rpb(height, width, n_srcs)
+    assert r is not None, "caller gates on _spatial_unpack_rpb"
 
-    def kernel(p0, p1, p2, p3, wy_ref, wc_ref, out_ref, vals):
-        ys, cbs, crs = _unpack_phases(p0[:], p1[:], p2[:], p3[:])
-        vals[:, :, :, g:] = jnp.zeros((2, 12, r, g2 - g), jnp.bfloat16)
-        # 10-bit codes ride as 4*hi8 + lo2: both halves are bf16-exact,
-        # and the DISTINCT multipliers below make the two selection dots
-        # impossible for Mosaic to merge into one lossy bf16 sum (the
-        # hazard documented in ops/pallas_rotate.py — a plain hi/lo
-        # split with a shared weight matrix is merge-bait)
-        for q, plane in enumerate(list(ys) + list(cbs) + list(crs)):
-            vals[0, q, :, :g] = (plane >> 2).astype(jnp.float32).astype(jnp.bfloat16)
-            vals[1, q, :, :g] = (plane & 3).astype(jnp.float32).astype(jnp.bfloat16)
-        out_ref[3] = jnp.ones((r, width), jnp.float32)
+    def kernel(*refs):
+        plane_refs = refs[: 4 * n_srcs]
+        wy_ref, wc_ref = refs[4 * n_srcs : 4 * n_srcs + 2]
+        out_refs = refs[4 * n_srcs + 2 : 4 * n_srcs + 2 + n_srcs]
+        (vals,) = refs[4 * n_srcs + 2 + n_srcs :]
 
-        def deint(qs, base, w):
-            fh = jnp.concatenate(
-                [vals[0, q, :, base : base + 24] for q in qs], axis=1
-            )
-            fl = jnp.concatenate(
-                [vals[1, q, :, base : base + 24] for q in qs], axis=1
-            )
-            return 4.0 * jnp.dot(
-                fh, w, preferred_element_type=jnp.float32
-            ) + jnp.dot(fl, w, preferred_element_type=jnp.float32)
+        def one_source(s):
+            out_ref = out_refs[s]
+            p0, p1, p2, p3 = plane_refs[4 * s : 4 * s + 4]
+            ys, cbs, crs = _unpack_phases(p0[:], p1[:], p2[:], p3[:])
+            vals[:, :, :, g:] = jnp.zeros((2, 12, r, g2 - g), jnp.bfloat16)
+            # 10-bit codes ride as 4*hi8 + lo2: both halves are
+            # bf16-exact, and the DISTINCT multipliers below make the
+            # two selection dots impossible for Mosaic to merge into
+            # one lossy bf16 sum (the hazard documented in
+            # ops/pallas_rotate.py — a plain hi/lo split with a shared
+            # weight matrix is merge-bait)
+            for q, plane in enumerate(list(ys) + list(cbs) + list(crs)):
+                vals[0, q, :, :g] = (
+                    (plane >> 2).astype(jnp.float32).astype(jnp.bfloat16)
+                )
+                vals[1, q, :, :g] = (
+                    (plane & 3).astype(jnp.float32).astype(jnp.bfloat16)
+                )
+            out_ref[3] = jnp.ones((r, width), jnp.float32)
 
-        for j in range(n_chunks):
-            wy = wy_ref[j % 3]
-            wc = wc_ref[j % 3]
-            b, bc = (128 * j) // 6, (64 * j) // 3
-            ysp = deint(range(6), b, wy)
-            usp = deint(range(6, 9), bc, wc)
-            vsp = deint(range(9, 12), bc, wc)
-            rgb = _decode_yuv(ysp, usp, vsp, col_fwd, gamut, g2l)
-            for c in range(3):
-                out_ref[c, :, 128 * j : 128 * (j + 1)] = rgb[c]
+            def deint(qs, base, w):
+                fh = jnp.concatenate(
+                    [vals[0, q, :, base : base + 24] for q in qs], axis=1
+                )
+                fl = jnp.concatenate(
+                    [vals[1, q, :, base : base + 24] for q in qs], axis=1
+                )
+                return 4.0 * jnp.dot(
+                    fh, w, preferred_element_type=jnp.float32
+                ) + jnp.dot(fl, w, preferred_element_type=jnp.float32)
+
+            for j in range(n_chunks):
+                wy = wy_ref[j % 3]
+                wc = wc_ref[j % 3]
+                b, bc = (128 * j) // 6, (64 * j) // 3
+                ysp = deint(range(6), b, wy)
+                usp = deint(range(6, 9), bc, wc)
+                vsp = deint(range(9, 12), bc, wc)
+                rgb = _decode_yuv(ysp, usp, vsp, col_fwd, gamut, g2l)
+                for c in range(3):
+                    out_ref[c, :, 128 * j : 128 * (j + 1)] = rgb[c]
+
+        for s in range(n_srcs):
+            one_source(s)
 
     call = pl.pallas_call(
         kernel,
         grid=(height // r,),
         in_specs=[
             pl.BlockSpec((r, g), lambda i: (i, 0), memory_space=pltpu.VMEM)
-            for _ in range(4)
+            for _ in range(4 * n_srcs)
         ]
         + [
             pl.BlockSpec((3, 144, 128), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, 72, 128), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (4, r, width), lambda i: (0, i, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((4, height, width), jnp.float32),
+        out_specs=[
+            pl.BlockSpec((4, r, width), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+            for _ in range(n_srcs)
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((4, height, width), jnp.float32)
+            for _ in range(n_srcs)
+        ],
         scratch_shapes=[pltpu.VMEM((2, 12, r, g2), jnp.bfloat16)],
         interpret=interpret,
     )
@@ -319,12 +362,45 @@ def _make_v210_spatial_unpack(
     # under a trace is a tracer — caching it leaks it into later traces
     wy_np, wc_np = _v210_spatial_weights()
 
-    def unpack_planes(planes):
+    if n_srcs == 1:
+
+        def unpack_planes(planes):
+            wy_j = jnp.asarray(wy_np, jnp.bfloat16)
+            wc_j = jnp.asarray(wc_np, jnp.bfloat16)
+            out = call(planes[0], planes[1], planes[2], planes[3], wy_j, wc_j)
+            return out[0]
+
+        return unpack_planes
+
+    def unpack_many(planes_lists):
         wy_j = jnp.asarray(wy_np, jnp.bfloat16)
         wc_j = jnp.asarray(wc_np, jnp.bfloat16)
-        return call(planes[0], planes[1], planes[2], planes[3], wy_j, wc_j)
+        flat = [p[k] for p in planes_lists for k in range(4)]
+        return list(call(*flat, wy_j, wc_j))
 
-    return unpack_planes
+    return unpack_many
+
+
+def batch_unpack_fits(width: int, height: int, n_srcs: int) -> bool:
+    return width % 128 == 0 and _spatial_unpack_rpb(height, width, n_srcs) is not None
+
+
+@lru_cache(maxsize=None)
+def make_v210_unpack_rgba_batch(
+    width: int,
+    height: int,
+    n_srcs: int,
+    col_spec: str = "709",
+    out_col_spec: str = "709",
+    interpret: bool | None = None,
+):
+    """fn([planes...] x n_srcs) -> [rgba (4,H,W)] x n_srcs, ONE launch.
+    Each entry is a (4, H, G) word-plane array list (host-split form)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    return _make_v210_spatial_unpack(
+        width, height, col_spec, out_col_spec, interpret, n_srcs
+    )
 
 
 @lru_cache(maxsize=None)
@@ -394,7 +470,7 @@ def make_v210_unpack_rgba(
 
     spatial = (
         _make_v210_spatial_unpack(width, height, col_spec, out_col_spec, interpret)
-        if width % 128 == 0 and any(height % c == 0 for c in (40, 32, 24, 16, 8))
+        if batch_unpack_fits(width, height, 1)
         else None
     )
 
