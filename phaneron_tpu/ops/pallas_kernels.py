@@ -774,11 +774,97 @@ def make_planar422_unpack_rgba(
         interpret=interpret,
     )
 
+    spatial_call = (
+        _make_planar422_spatial_unpack(
+            fmt_name, width, height, col_spec, out_col_spec, interpret
+        )
+        if width % 128 == 0 and width == p
+        else None
+    )
+
     def unpack(planes) -> jnp.ndarray:
         y, u, v = (pl_.astype(jnp.int32) for pl_ in planes)
+        if spatial_call is not None:
+            return spatial_call(y, u, v)
         phases = call(y[:, 0::2], y[:, 1::2], u, v)
         spatial = phases.transpose(0, 2, 3, 1).reshape(4, height, p)
         return spatial[:, :, :width]
+
+    return unpack
+
+
+@lru_cache(maxsize=None)
+def _make_planar422_spatial_unpack(
+    fmt_name: str,
+    width: int,
+    height: int,
+    col_spec: str,
+    out_col_spec: str,
+    interpret: bool,
+):
+    """Planar 4:2:2 -> spatial RGBA in ONE kernel: luma reads straight
+    spatial slices; the 2x chroma upsample (u[x] = u_half[x//2],
+    upsample_422 semantics) is a constant one-hot matmul — no XLA
+    even/odd luma split, no phase transpose (the same relayout
+    elimination as the v210 spatial unpack).  Codes ride as 4*hi8 + lo2
+    (exact, merge-proof — see ops/pallas_rotate.py)."""
+    from .formats import get_format
+
+    fmt = get_format(fmt_name)
+    info = fmt.INFO
+    half = width // 2
+    n_chunks = width // 128
+    col_fwd = _literals(
+        cm.ycbcr2rgb_matrix(
+            col_spec, info.num_bits, info.luma_black, info.luma_white, info.chroma_range
+        )
+    )
+    gamut = _literals(cm.rgb2rgb_matrix(col_spec, out_col_spec))
+    g2l, _ = _gamma_fns(col_spec, out_col_spec)
+    r = next(c for c in (40, 32, 24, 16, 8) if height % c == 0)
+
+    def kernel(y, u, v, wup_ref, out_ref, cuv):
+        for ci, cref in enumerate((u, v)):
+            cc = cref[:]
+            cuv[0, ci] = (cc >> 2).astype(jnp.float32).astype(jnp.bfloat16)
+            cuv[1, ci] = (cc & 3).astype(jnp.float32).astype(jnp.bfloat16)
+        out_ref[3] = jnp.ones((r, width), jnp.float32)
+        for j in range(n_chunks):
+            sl = slice(128 * j, 128 * (j + 1))
+            ysp = y[:, sl].astype(jnp.float32)
+            hi8 = cuv[0, :, :, 64 * j : 64 * j + 64].reshape(2 * r, 64)
+            lo2 = cuv[1, :, :, 64 * j : 64 * j + 64].reshape(2 * r, 64)
+            pr = 4.0 * jnp.dot(
+                hi8, wup_ref[:, :], preferred_element_type=jnp.float32
+            ) + jnp.dot(lo2, wup_ref[:, :], preferred_element_type=jnp.float32)
+            rgb = _decode_yuv(ysp, pr[:r], pr[r:], col_fwd, gamut, g2l)
+            for c in range(3):
+                out_ref[c, :, sl] = rgb[c]
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(height // r,),
+        in_specs=[
+            pl.BlockSpec((r, width), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, half), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, half), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((64, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (4, r, width), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((4, height, width), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((2, 2, r, half), jnp.bfloat16)],
+        interpret=interpret,
+    )
+    import numpy as np
+
+    wup_np = np.zeros((64, 128), np.float32)
+    for k in range(128):
+        wup_np[k // 2, k] = 1.0
+
+    def unpack(y, u, v):
+        return call(y, u, v, jnp.asarray(wup_np, jnp.bfloat16))
 
     return unpack
 
