@@ -1024,7 +1024,13 @@ def make_planar420_unpack_rgba(
         interpret=interpret,
     )
 
+    spatial_call = _make_planar420_spatial_unpack(
+        fmt_name, width, height, col_spec, out_col_spec, interpret
+    )
+
     def unpack(planes) -> jnp.ndarray:
+        if spatial_call is not None:
+            return spatial_call([pl_.astype(jnp.int32) for pl_ in planes])
         if fmt_name == "nv12":
             y, c = (pl_.astype(jnp.int32) for pl_ in planes)
             u, v = c[:, 0::2], c[:, 1::2]
@@ -1037,6 +1043,134 @@ def make_planar420_unpack_rgba(
         phases = call(y[:, 0::2], y[:, 1::2], u, v)[:, :, :height, :]
         spatial = phases.transpose(0, 2, 3, 1).reshape(4, height, p)
         return spatial[:, :, :width]
+
+    return unpack
+
+
+def _planar420_spatial_rpb(height: int):
+    """Luma row block: r divides height, r//2 divides height//2, both
+    Mosaic-friendly; None = keep the phase path."""
+    if height % 2:
+        return None
+    h2 = height // 2
+    for r in (40, 32, 24, 16, 8):
+        if height % r == 0 and r % 2 == 0 and h2 % (r // 2) == 0:
+            return r
+    return None
+
+
+@lru_cache(maxsize=None)
+def _make_planar420_spatial_unpack(
+    fmt_name: str,
+    width: int,
+    height: int,
+    col_spec: str,
+    out_col_spec: str,
+    interpret: bool,
+):
+    """4:2:0 -> spatial RGBA in ONE kernel: luma reads straight spatial
+    slices; the 2x2 chroma upsample is a constant one-hot matmul on
+    half-rate chroma rows followed by a sublane row-double.  For nv12
+    the one-hot ALSO absorbs the CbCr de-interleave (columns 2*(x//2)
+    and 2*(x//2)+1 of the interleaved plane) — the wrapper's strided
+    column splits and the phase transpose both disappear.  Codes ride
+    as 4*hi8 + lo2 (exact, merge-proof; ops/pallas_rotate.py)."""
+    from .formats import get_format
+
+    fmt = get_format(fmt_name)
+    info = fmt.INFO
+    p = fmt.pitch(width)
+    if width % 128 or width != p:
+        return None
+    r = _planar420_spatial_rpb(height)
+    if r is None:
+        return None
+    nv12 = fmt_name == "nv12"
+    half = width // 2
+    r2 = r // 2
+    n_chunks = width // 128
+    col_fwd = _literals(
+        cm.ycbcr2rgb_matrix(
+            col_spec, info.num_bits, info.luma_black, info.luma_white, info.chroma_range
+        )
+    )
+    gamut = _literals(cm.rgb2rgb_matrix(col_spec, out_col_spec))
+    g2l, _ = _gamma_fns(col_spec, out_col_spec)
+    cwidth = width if nv12 else half  # chroma plane lane count
+    cwin = 128 if nv12 else 64  # chroma window per 128-px chunk
+
+    def row_double(x):
+        return jnp.broadcast_to(x[:, None, :], (r2, 2, 128)).reshape(r, 128)
+
+    def kernel(*refs):
+        if nv12:
+            y, c, w_ref, out_ref, cuv = refs
+            crefs = (c,)
+        else:
+            y, u, v, w_ref, out_ref, cuv = refs
+            crefs = (u, v)
+        for ci, cref in enumerate(crefs):
+            cc = cref[:]
+            cuv[0, ci] = (cc >> 2).astype(jnp.float32).astype(jnp.bfloat16)
+            cuv[1, ci] = (cc & 3).astype(jnp.float32).astype(jnp.bfloat16)
+        out_ref[3] = jnp.ones((r, width), jnp.float32)
+        n_cref = len(crefs)
+        for j in range(n_chunks):
+            sl = slice(128 * j, 128 * (j + 1))
+            ysp = y[:, sl].astype(jnp.float32)
+            cb = cwin * j
+            hi8 = cuv[0, :n_cref, :, cb : cb + cwin].reshape(n_cref * r2, cwin)
+            lo2 = cuv[1, :n_cref, :, cb : cb + cwin].reshape(n_cref * r2, cwin)
+            pr = 4.0 * jnp.dot(
+                hi8, w_ref[:, :], preferred_element_type=jnp.float32
+            ) + jnp.dot(lo2, w_ref[:, :], preferred_element_type=jnp.float32)
+            if nv12:
+                # one lhs row-block; w maps to [u | v] column halves
+                usp = row_double(pr[:r2, :128])
+                vsp = row_double(pr[:r2, 128:])
+            else:
+                usp = row_double(pr[:r2])
+                vsp = row_double(pr[r2:])
+            rgb = _decode_yuv(ysp, usp, vsp, col_fwd, gamut, g2l)
+            for c in range(3):
+                out_ref[c, :, sl] = rgb[c]
+
+    import numpy as np
+
+    if nv12:
+        w_np = np.zeros((128, 256), np.float32)
+        for k in range(128):
+            w_np[2 * (k // 2), k] = 1.0  # Cb
+            w_np[2 * (k // 2) + 1, 128 + k] = 1.0  # Cr
+        w_shape = (128, 256)
+    else:
+        w_np = np.zeros((64, 128), np.float32)
+        for k in range(128):
+            w_np[k // 2, k] = 1.0
+        w_shape = (64, 128)
+
+    chroma_specs = [
+        pl.BlockSpec((r2, cwidth), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        for _ in range(1 if nv12 else 2)
+    ]
+    call = pl.pallas_call(
+        kernel,
+        grid=(height // r,),
+        in_specs=[pl.BlockSpec((r, width), lambda i: (i, 0), memory_space=pltpu.VMEM)]
+        + chroma_specs
+        + [pl.BlockSpec(w_shape, lambda i: (0, 0), memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(
+            (4, r, width), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((4, height, width), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, 1 if nv12 else 2, r2, cwidth), jnp.bfloat16)
+        ],
+        interpret=interpret,
+    )
+
+    def unpack(planes):
+        return call(*planes, jnp.asarray(w_np, jnp.bfloat16))
 
     return unpack
 
