@@ -1048,13 +1048,11 @@ def make_planar420_unpack_rgba(
 
 
 def _planar420_spatial_rpb(height: int):
-    """Luma row block: r divides height, r//2 divides height//2, both
-    Mosaic-friendly; None = keep the phase path."""
-    if height % 2:
-        return None
-    h2 = height // 2
-    for r in (40, 32, 24, 16, 8):
-        if height % r == 0 and r % 2 == 0 and h2 % (r // 2) == 0:
+    """Luma row block: r divides the (padded) height and r//2 is a
+    Mosaic-legal 8-multiple sublane block for the half-rate chroma
+    rows; None = keep the phase path."""
+    for r in (32, 16):
+        if height % r == 0:
             return r
     return None
 
@@ -1080,9 +1078,13 @@ def _make_planar420_spatial_unpack(
     fmt = get_format(fmt_name)
     info = fmt.INFO
     p = fmt.pitch(width)
-    if width % 128 or width != p:
+    if width % 128 or width != p or height % 2:
         return None
-    r = _planar420_spatial_rpb(height)
+    # luma rows pad to a 16-multiple so the HALF-RATE chroma block keeps
+    # 8-sublane alignment (1080 has no 16-multiple divisor); the wrapper
+    # pads and the output crops
+    hp = -(-height // 16) * 16
+    r = _planar420_spatial_rpb(hp)
     if r is None:
         return None
     nv12 = fmt_name == "nv12"
@@ -1155,14 +1157,14 @@ def _make_planar420_spatial_unpack(
     ]
     call = pl.pallas_call(
         kernel,
-        grid=(height // r,),
+        grid=(hp // r,),
         in_specs=[pl.BlockSpec((r, width), lambda i: (i, 0), memory_space=pltpu.VMEM)]
         + chroma_specs
         + [pl.BlockSpec(w_shape, lambda i: (0, 0), memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(
             (4, r, width), lambda i: (0, i, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((4, height, width), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((4, hp, width), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((2, 1 if nv12 else 2, r2, cwidth), jnp.bfloat16)
         ],
@@ -1170,7 +1172,13 @@ def _make_planar420_spatial_unpack(
     )
 
     def unpack(planes):
-        return call(*planes, jnp.asarray(w_np, jnp.bfloat16))
+        if hp != height:
+            pady = hp - height
+            planes = [jnp.pad(planes[0], ((0, pady), (0, 0)))] + [
+                jnp.pad(q, ((0, pady // 2), (0, 0))) for q in planes[1:]
+            ]
+        out = call(*planes, jnp.asarray(w_np, jnp.bfloat16))
+        return out[:, :height, :] if hp != height else out
 
     return unpack
 
