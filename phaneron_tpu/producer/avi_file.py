@@ -28,7 +28,11 @@ from .raw_file import RawFileProducer
 
 __all__ = ["create_avi_producer"]
 
-_FOURCC_FORMATS = {"v210": "v210", "BI_RGB": "bgra8"}
+# MJPG is the one COMPRESSED fourcc decoded natively (PIL's baseline
+# JPEG decoder, the same dependency the mjpeg HTTP producer uses) —
+# real codec media plays with zero external binaries.  Reference codec
+# dispatch breadth: ffmpegProducer.ts:393-466.
+_FOURCC_FORMATS = {"v210": "v210", "BI_RGB": "bgra8", "MJPG": "rgba8"}
 
 
 class AviProducer(RawFileProducer):
@@ -50,6 +54,13 @@ class AviProducer(RawFileProducer):
         vid = self.info.video
         if vid.fourcc not in _FOURCC_FORMATS:
             raise InvalidProducerError(f"no decoder for fourcc {vid.fourcc}")
+        if vid.fourcc == "MJPG":
+            try:
+                from PIL import Image  # noqa: F401
+            except Exception as err:  # pragma: no cover
+                raise InvalidProducerError(
+                    f"PIL unavailable for MJPG decode: {err}"
+                ) from err
         self.pix_format = _FOURCC_FORMATS[vid.fourcc]
         self.width, self.height = vid.width, vid.height
         self.meta: dict = {}
@@ -74,12 +85,14 @@ class AviProducer(RawFileProducer):
         fmt_mod = get_format(self.pix_format)
         expect = sum(fmt_mod.num_bytes(self.width, self.height))
         vid = self.info.video
-        bad = [s for _, s in vid.frames if s != expect]
-        if bad:
-            raise InvalidProducerError(
-                f"AVI frame size {bad[0]} != {expect} for "
-                f"{self.pix_format} {self.width}x{self.height}"
-            )
+        self._mjpg = vid.fourcc == "MJPG"
+        if not self._mjpg:  # compressed chunks are variable-size
+            bad = [s for _, s in vid.frames if s != expect]
+            if bad:
+                raise InvalidProducerError(
+                    f"AVI frame size {bad[0]} != {expect} for "
+                    f"{self.pix_format} {self.width}x{self.height}"
+                )
         self.num_frames = len(vid.frames)
         self.frame_bytes = expect
         self._mm = np.memmap(self.path, dtype=np.uint8, mode="r")
@@ -103,14 +116,36 @@ class AviProducer(RawFileProducer):
             return cached, stamp
         off, size = self.info.video.frames[index]
         raw = bytes(self._mm[off : off + size])
-        planes = self._fmt_mod.from_bytes(raw, self.width, self.height)
-        if self.info.video.bottom_up:
-            planes = [np.ascontiguousarray(p[::-1]) for p in planes]
+        if self._mjpg:
+            planes = [self._decode_jpeg(raw)]
+        else:
+            planes = self._fmt_mod.from_bytes(raw, self.width, self.height)
+            if self.info.video.bottom_up:
+                planes = [np.ascontiguousarray(p[::-1]) for p in planes]
         planes = host_split(self._fmt_mod, planes)
         arrays = [jax.device_put(p) for p in planes]
         if self._cache_ok:
             self._device_cache[index] = arrays
         return arrays, stamp
+
+    def _decode_jpeg(self, raw: bytes) -> np.ndarray:
+        """One MJPG chunk -> (H, W, 4) rgba8 plane (loader thread; PIL
+        decode never touches the event loop — same contract as the
+        mjpeg HTTP producer's executor decode)."""
+        import io as _io
+
+        from PIL import Image
+
+        img = Image.open(_io.BytesIO(raw)).convert("RGB")
+        if img.size != (self.width, self.height):
+            raise InvalidProducerError(
+                f"MJPG frame {img.size} != container {self.width}x{self.height}"
+            )
+        rgb = np.asarray(img, dtype=np.uint8)
+        px = np.empty((self.height, self.width, 4), dtype=np.uint8)
+        px[:, :, :3] = rgb
+        px[:, :, 3] = 255
+        return px
 
     def audio_stream(self) -> Stream:
         aud = self.info.audio

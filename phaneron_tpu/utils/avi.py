@@ -126,8 +126,7 @@ def read_avi(path: str | Path) -> AviInfo:
     """Parse headers + scan movi chunks.  Raises ValueError on anything
     that is not an AVI with supported uncompressed streams."""
     data = np.memmap(path, dtype=np.uint8, mode="r")
-    raw = data[: 64 * 1024].tobytes()  # headers live up front
-    if len(raw) < 12 or raw[0:4] != b"RIFF" or raw[8:12] != b"AVI ":
+    if len(data) < 12 or bytes(data[0:4]) != b"RIFF" or bytes(data[8:12]) != b"AVI ":
         raise ValueError("not an AVI file")
 
     video: Optional[AviVideo] = None
@@ -176,18 +175,22 @@ def read_avi(path: str | Path) -> AviInfo:
                 stream_kinds.append("auds")
             pos = body + sz + (sz & 1)
 
-    # top-level walk
-    pos, end = 12, len(raw)
+    # top-level walk over the FULL file (chunk headers only — stays
+    # cheap on a memmap; a movi LIST pushed past 64 KB by JUNK padding
+    # or OpenDML headers from standard tools must still be found).
+    # The hdrl LIST is materialised to bytes for the field parses.
+    pos, end = 12, len(data)
     while pos + 8 <= end:
-        ck = raw[pos : pos + 4]
-        sz = _u32(raw, pos + 4)
+        ck = bytes(data[pos : pos + 4])
+        sz = _u32(bytes(data[pos + 4 : pos + 8]), 0)
         body = pos + 8
         if ck == b"LIST":
-            kind = raw[body : body + 4]
+            kind = bytes(data[body : body + 4])
             if kind == b"hdrl":
-                # walk hdrl for strl LISTs
-                p2, e2 = body + 4, body + sz
-                while p2 + 8 <= e2:
+                raw = data[pos : min(body + sz + (sz & 1), end)].tobytes()
+                # walk hdrl for strl LISTs (offsets relative to `pos`)
+                p2, e2 = 12, 8 + sz
+                while p2 + 8 <= min(e2, len(raw)):
                     c2 = raw[p2 : p2 + 4]
                     s2 = _u32(raw, p2 + 4)
                     if c2 == b"LIST" and raw[p2 + 8 : p2 + 12] == b"strl":
@@ -199,7 +202,7 @@ def read_avi(path: str | Path) -> AviInfo:
 
     if video is None:
         raise ValueError("no vids stream")
-    if video.fourcc not in ("v210", "BI_RGB"):
+    if video.fourcc not in ("v210", "BI_RGB", "MJPG"):
         raise ValueError(f"compressed/unsupported video fourcc '{video.fourcc}'")
     if audio is not None and audio.format_tag not in (1, 3):
         raise ValueError(f"unsupported audio format tag {audio.format_tag}")
@@ -238,8 +241,12 @@ def write_avi(
     auds stream, audio interleaved per video frame)."""
     n = len(frames)
     sizes = {len(f) for f in frames}
-    assert len(sizes) == 1, "uniform frame size required"
-    frame_bytes = sizes.pop()
+    if fourcc in ("v210", "BI_RGB"):
+        assert len(sizes) == 1, "uniform frame size required for uncompressed"
+    # header field is dwSuggestedBufferSize — max covers variable (MJPG) chunks
+    frame_bytes = max(sizes)
+    # compressed payloads use the '##dc' chunk id by convention
+    vid_ck = b"00db" if fourcc in ("v210", "BI_RGB") else b"00dc"
 
     aud_per_frame: list[bytes] = []
     audio_channels = 0
@@ -257,11 +264,14 @@ def write_avi(
     )
     movi = b"movi"
     for k, f in enumerate(frames):
-        movi += _chunk_bytes(b"00db", f)
+        movi += _chunk_bytes(vid_ck, f)
         if aud_per_frame:
             movi += _chunk_bytes(b"01wb", aud_per_frame[k])
+    # body already includes the 'AVI ' form type, so the RIFF size
+    # field is exactly len(body) (== file size - 8, matching
+    # AviWriter.close()'s end-8 patch)
     body = header[8:] + _chunk_bytes(b"LIST", movi)
-    Path(path).write_bytes(b"RIFF" + struct.pack("<I", 4 + len(body)) + body)
+    Path(path).write_bytes(b"RIFF" + struct.pack("<I", len(body)) + body)
 
 
 class AviWriter:

@@ -149,6 +149,90 @@ def test_committed_fixture_parses():
     assert info.audio is not None
 
 
+def test_riff_size_field_exact(tmp_path):
+    """The RIFF size field must equal file size - 8 (strict parsers
+    treat an overstated size as truncation)."""
+    import struct
+
+    p = tmp_path / "clip.avi"
+    _write_fixture(p, with_audio=False)
+    raw = p.read_bytes()
+    assert struct.unpack_from("<I", raw, 4)[0] == len(raw) - 8
+
+
+def test_movi_beyond_64k_junk(tmp_path):
+    """A movi LIST pushed past 64 KB by a JUNK chunk (OpenDML padding
+    from standard tools) must still parse — the top-level walk covers
+    the whole file, not a fixed prefix."""
+    import struct
+
+    p = tmp_path / "clip.avi"
+    frames, _ = _write_fixture(p, with_audio=False)
+    raw = bytearray(p.read_bytes())
+    movi_at = raw.find(b"LIST", 12)
+    while raw[movi_at + 8 : movi_at + 12] != b"movi":
+        movi_at = raw.find(b"LIST", movi_at + 1)
+    junk = b"JUNK" + struct.pack("<I", 80 * 1024) + b"\x00" * (80 * 1024)
+    padded = raw[:movi_at] + junk + raw[movi_at:]
+    struct.pack_into("<I", padded, 4, len(padded) - 8)
+    big = tmp_path / "padded.avi"
+    big.write_bytes(padded)
+    info = read_avi(big)
+    assert len(info.video.frames) == 5
+    blob = bytes(padded)
+    for want, (off, size) in zip(frames, info.video.frames):
+        assert blob[off : off + size] == want
+
+
+MJPG_FX = "tone_bars_mjpg.avi"
+
+
+def test_mjpg_fixture_plays_end_to_end():
+    """tests/fixtures/tone_bars_mjpg.avi is COMPRESSED real media (MJPG
+    fourcc, baseline JPEG) that decodes natively via PIL — the codec
+    path exercised with zero external binaries (reference codec
+    dispatch: ffmpegProducer.ts:393-466).  Bars are verified
+    post-decode within JPEG tolerance."""
+    from pathlib import Path
+
+    fx = Path(__file__).parent / "fixtures" / MJPG_FX
+    info = read_avi(fx)
+    assert info.video.fourcc == "MJPG"
+    assert len(info.video.frames) == 6
+
+    async def drive():
+        prod = AviProducer("1-1", LoadParams(url=str(fx)), FMT)
+        await prod.initialise()
+        assert prod.pix_format == "rgba8"
+        vs = prod.video_stream()
+        got = []
+        while True:
+            f = await vs.next()
+            if f is END:
+                break
+            got.append(np.asarray(f.payload[0]))
+        aus = prod.audio_stream()
+        a0 = await aus.next()
+        prod.release()
+        return got, a0
+
+    got, a0 = run_async(drive())
+    assert len(got) == 6
+    bars = np.array(
+        [[235, 235, 235], [235, 235, 16], [16, 235, 235], [16, 235, 16],
+         [235, 16, 235], [235, 16, 16], [16, 16, 235], [16, 16, 16]],
+        np.int32,
+    )
+    for k, px in enumerate(got):
+        assert px.shape == (64, 96, 4) and px.dtype == np.uint8
+        assert (px[:, :, 3] == 255).all()
+        for i in range(8):  # sample each bar's centre column
+            want = bars[(i + k) % 8]
+            sample = px[32, i * 12 + 6, :3].astype(np.int32)
+            assert np.abs(sample - want).max() <= 12, (k, i, sample, want)
+    assert a0.sample_rate == 48000
+
+
 def test_record_avi_and_replay_roundtrip(tmp_path):
     """Record a live channel to an .avi (FileConsumer + AviWriter),
     then re-ingest the SAME file with AviProducer — container-level
