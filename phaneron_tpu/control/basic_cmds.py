@@ -65,12 +65,20 @@ def _parse_load(params: list[str]) -> tuple[LoadParams, Optional[TransitionSpec]
             transition = TransitionSpec(ttype, dur, mask)
             break
 
+    extra = {}
+    device_raw = value("DEVICE")  # PLAY 1-1 DECKLINK DEVICE 2
+    if device_raw is not None:
+        try:
+            extra["device"] = int(device_raw)
+        except ValueError:
+            pass
     lp = LoadParams(
         url=url,
         loop=flag("LOOP"),
         auto_play=flag("AUTO"),
         seek=seek,
         length=length,
+        extra=extra,
     )
     return lp, transition
 

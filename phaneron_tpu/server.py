@@ -29,6 +29,7 @@ from .producer.avi_file import create_avi_producer
 from .producer.ffmpeg import create_ffmpeg_producer
 from .producer.mjpeg import create_mjpeg_producer
 from .producer.producer import ProducerRegistry
+from .producer.sdi_capture import create_sdi_capture_producer
 from .producer.raw_file import create_raw_file_producer
 from .producer.route import make_route_factory
 from .producer.test_pattern import create_test_pattern_producer
@@ -67,6 +68,7 @@ class PhaneronServer:
         self.producer_registry = ProducerRegistry(
             [
                 make_route_factory(lambda n: self.channels.get(n)),
+                create_sdi_capture_producer,
                 create_test_pattern_producer,
                 create_mjpeg_producer,
                 create_avi_producer,
