@@ -69,7 +69,9 @@ def chain_ms(step, x0, n_small=8, n_large=64, floor_bytes=0):
     return max(dev, 1e-6), t_small / n_small
 
 
-def composite_step(w, h, pallas: bool, interpret: bool = False):
+def composite_step(
+    w, h, pallas: bool, interpret: bool = False, salt: int = 0, n_layers: int = 4
+):
     """The real serving shape: 4 layers, each with an axis-aligned DVE
     warp and a dissolve between two v210 sources, over-composited and
     packed back to v210.
@@ -79,11 +81,14 @@ def composite_step(w, h, pallas: bool, interpret: bool = False):
     source slots and all 4 matrices are DISTINCT device buffers —
     feeding one buffer to every slot lets trace-level dedup and XLA CSE
     collapse the 8 unpacks and 4 warps to one of each, silently
-    measuring an eighth of the real serving work.  The packed output
-    couples into slot 0 of the next chain frame as a single-bit xor: a
-    real data dependency (frame k+1 cannot start before frame k's pack
-    completes) that is NOT constant-foldable (a *0 coupling lets XLA
-    dead-code the entire frame out of the chain)."""
+    measuring an eighth of the real serving work.  ``salt`` makes a
+    whole CHANNEL's statics and matrices distinct from another
+    channel's, so a multi-channel tick can never CSE across its
+    channels either.  The packed output couples into slot 0 of the
+    next chain frame as a single-bit xor: a real data dependency
+    (frame k+1 cannot start before frame k's pack completes) that is
+    NOT constant-foldable (a *0 coupling lets XLA dead-code the entire
+    frame out of the chain)."""
     from phaneron_tpu.graph.pipeline import ChannelSpec, LayerSpec, make_channel_program
     from phaneron_tpu.ops.formats import get_format, host_split
     from phaneron_tpu.ops.geometry import transform_matrix
@@ -92,9 +97,10 @@ def composite_step(w, h, pallas: bool, interpret: bool = False):
     m = transform_matrix(w, h, scale_x=0.9, scale_y=0.9, offset_x=0.02)
     bucket = bucket_of(m)
     mats = []
-    for i in range(4):
+    for i in range(n_layers):
         mi = transform_matrix(
-            w, h, scale_x=0.9, scale_y=0.9, offset_x=0.02 + 0.003 * i
+            w, h, scale_x=0.9, scale_y=0.9,
+            offset_x=0.02 + 0.003 * i + 0.0007 * salt,
         )
         assert bucket_of(mi) == bucket
         mats.append(jax.device_put(jnp.asarray(mi)))
@@ -105,13 +111,14 @@ def composite_step(w, h, pallas: bool, interpret: bool = False):
         host_split(v210, v210.fill_buf(w, h))[0] if pallas else v210.fill_buf(w, h)[0]
     )
     statics = [
-        jax.device_put(np.roll(base, 11 * (k + 1), axis=1)) for k in range(7)
+        jax.device_put(np.roll(base, 11 * (k + 1) + 97 * salt, axis=1))
+        for k in range(2 * n_layers - 1)
     ]
     layer = LayerSpec(
         "v210", transition="dissolve", has_transform=True, axis_aligned=True,
         src_b_format="v210", warp_bucket=bucket if pallas else -1,
     )
-    spec = ChannelSpec(w, h, "v210", layers=(layer,) * 4, pallas_stages=pallas)
+    spec = ChannelSpec(w, h, "v210", layers=(layer,) * n_layers, pallas_stages=pallas)
     prog = make_channel_program(spec)
 
     @jax.jit
@@ -124,7 +131,7 @@ def composite_step(w, h, pallas: bool, interpret: bool = False):
                 "matrix": mats[i],
                 "mix": jnp.float32(0.4 + 0.05 * i),
             }
-            for i in range(4)
+            for i in range(n_layers)
         ]
         out = prog({"layers": layers})[0]
         return x ^ (out.reshape(-1)[0] & jnp.uint32(1))
@@ -138,6 +145,116 @@ def v210_planes(w, h):
 
     v210 = get_format("v210")
     return jax.device_put(host_split(v210, v210.fill_buf(w, h))[0])
+
+
+def interlaced_channels_step(n_channels: int, interpret: bool, w=1920, h=1080):
+    """One FRAME PERIOD (two 50 Hz field ticks) of n interlaced 1080i50
+    channels as a single jitted step — the device work of the
+    reference's default served load (index.ts:45-71 configures four
+    1080i5000 channels; config.ts:43-78 field cadence).
+
+    Per channel per period, exactly what the runtime dispatches:
+    - 8 source unpacks (one new interlaced frame per source per period,
+      runtime/layer.py SourceSlot._pull_video -> make_unpack_program);
+    - 2 channel-program ticks (parity 0/1), each running 4 layers x
+      2-slot yadif ring deinterlace -> fused dissolve pair-warp ->
+      over-combine -> per-field v210 pack + the RGBA emit interlaced
+      consumers require (ChannelSpec deinterlace/emit_rgba);
+    - 1 field-pair interlaced v210 pack (the SDI/file consumer's
+      two-field output frame, make_interlaced_pack_program).
+
+    Every channel's rings, fresh-frame words and matrices are salted
+    distinct; outputs xor-couple into the next step's carrier."""
+    from phaneron_tpu.graph.pipeline import (
+        ChannelSpec,
+        LayerSpec,
+        make_channel_program,
+        make_interlaced_pack_program,
+        make_unpack_program,
+    )
+    from phaneron_tpu.ops.formats import get_format, host_split
+    from phaneron_tpu.ops.geometry import transform_matrix
+    from phaneron_tpu.ops.pallas_warp import bucket_of
+    from phaneron_tpu.runtime.frame import RGBA_F32
+
+    v210 = get_format("v210")
+    unpack = make_unpack_program("v210", w, h, "709", "709")
+    pack_pair = make_interlaced_pack_program("v210", w, h, "709")
+    base = np.asarray(host_split(v210, v210.fill_buf(w, h))[0])
+
+    layer = LayerSpec(
+        RGBA_F32, transition="dissolve", has_transform=True, axis_aligned=True,
+        src_b_format=RGBA_F32, deinterlace=True, warp_bucket=-1,
+    )
+    mref = transform_matrix(w, h, scale_x=0.9, scale_y=0.9, offset_x=0.02)
+    layer = layer._replace(warp_bucket=bucket_of(mref) if not interpret else -1)
+    spec = ChannelSpec(
+        w, h, "v210", layers=(layer,) * 4, emit_rgba=True,
+        pallas_stages=not interpret,
+    )
+    prog = make_channel_program(spec)
+
+    chans = []
+    for c in range(n_channels):
+        # 8 sources/channel: 2 aged static ring frames each (device
+        # RGBA via the real unpack) + fresh words for the new entry
+        words = [
+            jax.device_put(np.roll(base, 131 * c + 13 * s + 7, axis=1))
+            for s in range(8)
+        ]
+        aged = [
+            [
+                jax.block_until_ready(
+                    unpack([jax.device_put(np.roll(base, 131 * c + 13 * s + 3 * a, axis=1))])
+                )
+                for a in range(2)
+            ]
+            for s in range(8)
+        ]
+        mats = [
+            jax.device_put(
+                jnp.asarray(
+                    transform_matrix(
+                        w, h, scale_x=0.9, scale_y=0.9,
+                        offset_x=0.02 + 0.003 * i + 0.0007 * c,
+                    )
+                )
+            )
+            for i in range(4)
+        ]
+        chans.append((words, aged, mats))
+
+    @jax.jit
+    def step(x):
+        out_bit = jnp.uint32(0)
+        for c, (words, aged, mats) in enumerate(chans):
+            srcs = [x if c == 0 and s == 0 else words[s] for s in range(8)]
+            fresh = [unpack([sw]) for sw in srcs]
+            rings = [
+                jnp.stack([aged[s][0], aged[s][1], fresh[s]]) for s in range(8)
+            ]
+            fields = []
+            for parity in (0, 1):
+                layers = [
+                    {
+                        "src_ring": rings[2 * i],
+                        "src_b_ring": rings[2 * i + 1],
+                        "parity": jnp.int32(parity),
+                        "matrix": mats[i],
+                        "mix": jnp.float32(0.4 + 0.05 * i),
+                    }
+                    for i in range(4)
+                ]
+                out = prog({"layers": layers})
+                fields.append(out["rgba"])
+                out_bit = out_bit ^ (
+                    out["packed"][0].reshape(-1)[0] & jnp.uint32(1)
+                )
+            pair = pack_pair(fields[0], fields[1])
+            out_bit = out_bit ^ (pair[0].reshape(-1)[0] & jnp.uint32(1))
+        return x ^ out_bit
+
+    return step
 
 
 def main():
@@ -185,23 +302,58 @@ def main():
     hd4_ms, _ = chain_ms(hd_step, hd_src, n_small=8, n_large=48)
     log(f"HD 4-layer DVE+dissolve: {hd4_ms:.3f} ms/frame -> {1000/hd4_ms:.0f} fps")
 
-    # 1d. the reference's DEFAULT LOAD: four 1080p50 channels on one
-    # chip, each the full 4-layer DVE+dissolve shape (index.ts:45-71).
-    # One chain step renders all four channels' frames back to back —
-    # device ms per TICK must stay under the 20 ms frame period.
-    def four_channels_step(base_step):
+    # 1d. four PROGRESSIVE 1080p50 channels on one chip, each the full
+    # 4-layer DVE+dissolve shape.  Every channel gets its own salted
+    # statics and matrices: the four per-channel subgraphs share no
+    # buffers, so XLA cannot legally collapse them (the BENCH HONESTY
+    # hazard the per-slot distinctness already guards within a channel).
+    def four_channels_step(n_channels=4):
+        steps = [
+            composite_step(
+                1920, 1080, pallas=not interpret, interpret=interpret, salt=c + 1
+            )
+            for c in range(n_channels)
+        ]
+
         @jax.jit
         def tick(x):
-            for _ in range(4):
-                x = base_step(x)
+            for s in steps:
+                x = s(x)
             return x
 
         return tick
 
-    tick4 = four_channels_step(hd_step)
+    tick4 = four_channels_step()
     tick4_ms, _ = chain_ms(tick4, hd_src, n_small=4, n_large=24)
     log(f"4x 1080p50 channels, one chip: {tick4_ms:.3f} ms/tick "
         f"({tick4_ms / 20.0 * 100:.0f}% of the 50 Hz frame period)")
+
+    # 1e. the reference's ACTUAL default load (index.ts:45-71,
+    # config.ts:43-78): four INTERLACED 1080i5000 channels ticking at
+    # field rate (50 Hz fields), each channel 4 layers of dissolves
+    # between two interlaced sources — 8 yadif ring deinterlaces per
+    # channel per field — plus the per-frame-period source unpacks and
+    # the consumer's field-pair interlaced v210 pack.
+    i4_tick_ms = i2_tick_ms = float("nan")
+    try:
+        tick_i4 = interlaced_channels_step(4, interpret=interpret)
+        t0 = time.perf_counter()
+        jax.block_until_ready(tick_i4(hd_src))
+        log(f"1080i default-load compile+first-run: {time.perf_counter()-t0:.1f}s")
+        i4_step_ms, _ = chain_ms(tick_i4, hd_src, n_small=2, n_large=8)
+        i4_tick_ms = i4_step_ms / 2  # one step = a 2-field frame period
+        log(f"4x 1080i50 channels (reference default load), one chip: "
+            f"{i4_tick_ms:.3f} ms/field-tick "
+            f"({i4_tick_ms / 20.0 * 100:.0f}% of the 50 Hz field period)")
+        # the chip-sharded config (configs/quad_1080i_2chip.json): two
+        # channels per chip — this measures ONE chip's share
+        tick_i2 = interlaced_channels_step(2, interpret=interpret)
+        i2_step_ms, _ = chain_ms(tick_i2, hd_src, n_small=2, n_large=8)
+        i2_tick_ms = i2_step_ms / 2
+        log(f"2x 1080i50 channels (per chip of the 2-chip config): "
+            f"{i2_tick_ms:.3f} ms/field-tick")
+    except Exception as err:  # pragma: no cover - bench resilience
+        log(f"1080i default-load bench failed: {err}")
 
     # 2. Pallas warp vs XLA gather warp (VERDICT r1 item 2: >=2x both)
     warp_ratio = {}
@@ -241,6 +393,26 @@ def main():
     )
     log(f"rotation two-pass Pallas 1080p: {rotp_ms:.3f} ms/frame "
         f"({rot_ms / rotp_ms:.1f}x the gather)")
+    # full-revolution coverage: EVERY angle lands in a quarter+bucket
+    # code (quarter-turn composition); the worst cost is the ~45-degree
+    # residual band — measure it so no silent 40 ms band can exist
+    rot_worst_ms = 0.0
+    for deg in (45, 100, 135, 170):
+        mw_np = transform_matrix(
+            1920, 1080, rotate=deg / 360.0, scale_x=0.9, scale_y=0.9
+        )
+        code = rot_bucket_of(np.asarray(mw_np), 1920, 1080)
+        assert code >= 0, f"angle {deg} not covered"
+        rotw = make_rotate_program(1080, 1920, code, interpret=interpret)
+        mwj = jax.device_put(jnp.asarray(mw_np))
+        ms, _ = chain_ms(
+            lambda x: rotw(x, mwj), rot_src, n_small=4, n_large=20,
+            floor_bytes=4 * rot_src.nbytes,
+        )
+        log(f"rotation {deg} deg 1080p: {ms:.3f} ms/frame")
+        rot_worst_ms = max(rot_worst_ms, ms)
+    log(f"rotation worst angle 1080p: {rot_worst_ms:.3f} ms/frame "
+        f"({rot_ms / rot_worst_ms:.1f}x the gather)")
 
     # 2c. BASELINE config 2: deinterlace (yadif over a 3-frame ring) and
     # the scaler (separable stretch-fit), 1080-class geometry
@@ -309,6 +481,31 @@ def main():
     )
     log(f"8K single-layer DVE channel: {k8dve_ms:.3f} ms -> {1000/k8dve_ms:.0f} fps; "
         f"sp=4 projection {k8dve_ms/4:.2f} ms")
+
+    # 3c. 8K at SERVING shape: the full 4-layer DVE+dissolve composite
+    # (or the deepest layer count that fits HBM, reported as the
+    # documented limit).  8 RGBA f32 sources at 8K are 4.2 GB before
+    # intermediates, so this may step down.
+    k8c_ms, k8c_layers = float("nan"), 0
+    for n_layers in (4, 2, 1):
+        try:
+            k8c_step = composite_step(
+                7680, 4320, pallas=not interpret, interpret=interpret,
+                salt=0, n_layers=n_layers,
+            )
+            k8c_src = v210_planes(7680, 4320)
+            jax.block_until_ready(k8c_step(k8c_src))
+            k8c_ms, _ = chain_ms(
+                k8c_step, k8c_src, n_small=2, n_large=6,
+                floor_bytes=(2 * n_layers + 3) * k8c_src.nbytes,
+            )
+            k8c_layers = n_layers
+            log(f"8K {n_layers}-layer DVE+dissolve: {k8c_ms:.3f} ms "
+                f"-> {1000/k8c_ms:.1f} fps; sp=4 projection {k8c_ms/4:.2f} ms")
+            break
+        except Exception as err:
+            log(f"8K {n_layers}-layer composite does not fit: "
+                f"{str(err).splitlines()[0][:120]}")
 
     # 4. pipeline latency p99 (the north star: <10 ms through
     # unpack -> composite -> pack).  Sampled as many short dependent

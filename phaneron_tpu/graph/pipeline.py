@@ -60,9 +60,11 @@ class LayerSpec(NamedTuple):
     # -1 falls back to the XLA gather warp
     warp_same_mat: bool = True  # dissolve sources share one transform
     # (the common case): the fused pair kernel shares weight tables
-    rot_bucket: int = -1  # two-pass shear rotation bucket covering a
+    rot_bucket: int = -1  # quarter+shear rotation CODE covering a
     # NON-axis-aligned matrix (ops.pallas_rotate.rot_bucket_of); -1
     # falls back to the XLA 2-D gather (~40 ms/frame at 1080p)
+    rot_bucket_b: int = -1  # src_b's own rotation code (a dissolve's two
+    # matrices may need different quarter turns); -1 = same as rot_bucket
     src_size: Optional[tuple[int, int]] = None  # (w, h) when the source
     # geometry differs from the channel: unpack at source size, then
     # stretch-fit (the reference's normalized-coordinate sampling does
@@ -264,7 +266,13 @@ def _process_layer(
     fmt_b = lspec.src_b_format or lspec.src_format
     rgba_b = _layer_source(lspec, fmt_b, lparams, "src_b", spec, pre, li)
     if lspec.has_transform:
-        warp = _pick_warp(lspec, spec)
+        # src_b may carry its own rotation code (different quarter turn)
+        lspec_b = (
+            lspec._replace(rot_bucket=lspec.rot_bucket_b)
+            if lspec.rot_bucket_b >= 0
+            else lspec
+        )
+        warp = _pick_warp(lspec_b, spec)
         rgba_b = warp(rgba_b, lparams.get("matrix_b", lparams["matrix"]))
 
     if lspec.transition == "dissolve":

@@ -390,6 +390,7 @@ class Layer:
 
             warp_bucket = -1
             rot_bucket = -1
+            rot_bucket_b = -1
             same_mat = True
             if has_tf:
                 from ..ops.pallas_warp import bucket_of
@@ -400,15 +401,20 @@ class Layer:
                     from ..ops.pallas_rotate import rot_bucket_of
 
                     w, h = self.channel_fmt.width, self.channel_fmt.height
-                    rb1 = rot_bucket_of(np.asarray(mixer.matrix), w, h)
-                    rb2 = rot_bucket_of(np.asarray(next_mixer.matrix), w, h)
-                    rot_bucket = max(rb1, rb2) if min(rb1, rb2) >= 0 else -1
+                    # each source carries its OWN quarter+bucket code —
+                    # a dissolve between e.g. 20 and 80 degree layers
+                    # runs two programs, no common quarter required
+                    rot_bucket = rot_bucket_of(np.asarray(mixer.matrix), w, h)
+                    rot_bucket_b = rot_bucket_of(
+                        np.asarray(next_mixer.matrix), w, h
+                    )
             spec_kwargs = dict(
                 transition=tr.type,
                 has_transform=has_tf,
                 axis_aligned=both_axis_aligned,
                 warp_bucket=warp_bucket,
                 rot_bucket=rot_bucket,
+                rot_bucket_b=rot_bucket_b,
                 warp_same_mat=same_mat,
                 src_b_format=src_b_format,
             )

@@ -101,11 +101,102 @@ def test_border_transparent_black():
 def test_bucket_gating():
     ok = transform_matrix(W, H, rotate=0.02)
     assert rot_bucket_of(np.asarray(ok), W, H) >= 0
+    # 90 degrees: quarter-turn composition (code encodes quarter 1 or 3)
     ninety = transform_matrix(W, H, rotate=0.25)  # turns
-    assert rot_bucket_of(np.asarray(ninety), W, H) == -1
+    code = rot_bucket_of(np.asarray(ninety), W, H)
+    assert code >= 0 and (code // 8) % 2 == 1
     # axis-aligned matrices are also coverable (degenerate b = 0)
     aa = transform_matrix(W, H, scale_x=0.9)
     assert rot_bucket_of(np.asarray(aa), W, H) >= 0
+
+
+@pytest.mark.parametrize("angle_deg", list(range(0, 360, 15)))
+def test_full_revolution_always_covered(angle_deg):
+    """Every angle of a full revolution lands in a valid quarter+bucket
+    (the reference sampler's uniform-cost rotation, transform.ts:26-29)
+    and fits the pass geometry."""
+    m = transform_matrix(W, H, rotate=angle_deg / 360.0, scale_x=0.9, scale_y=0.9)
+    code = rot_bucket_of(np.asarray(m), W, H)
+    assert code >= 0, angle_deg
+    assert rotate_fits(H, W, code), angle_deg
+
+
+@pytest.mark.parametrize(
+    "angle_deg", [45, 90, 117, 180, 222, 270, 303]
+)
+def test_large_angle_matches_direct_gather(angle_deg):
+    """Quarter-turn + shear residual vs the direct bilinear gather at
+    angles across the revolution, including the exact quarter turns."""
+    m = transform_matrix(
+        W, H, rotate=angle_deg / 360.0, scale_x=0.85, scale_y=0.85
+    )
+    src = _smooth(H, W)
+    got = _run(m, src)
+    want = np.asarray(warp_affine(src, jnp.asarray(m)))
+    gi, wi = got[:, 4:-4, 8:-8], want[:, 4:-4, 8:-8]
+    # the rotated frame BORDER is a content step edge — exactly where
+    # the documented y'-tap deviation concentrates (<=1 texel of
+    # geometric shift).  Measure RMS on the interior and near-zero on
+    # the far exterior; the transition band is excluded by erosion.
+    interior = _erode(want[3] > 0.999, 2)[4:-4, 8:-8]
+    exterior = _erode(want[3] < 1e-3, 2)[4:-4, 8:-8]
+    err = np.abs(gi - wi).max(axis=0)
+    if interior.any():
+        rms = float(np.sqrt(np.mean((gi - wi)[:, interior] ** 2)))
+        assert rms < 2e-3, (angle_deg, rms)
+        assert float(err[interior].max()) < 0.03, (angle_deg, err[interior].max())
+    if exterior.any():
+        assert float(err[exterior].max()) < 1e-3, (angle_deg, err[exterior].max())
+
+
+def test_dissolve_pair_with_different_quarters():
+    """A dissolve between a 30-degree and a 60-degree layer: the two
+    matrices need DIFFERENT quarter turns at this aspect, so the layer
+    carries per-source codes (rot_bucket / rot_bucket_b) and the
+    channel program runs two rotate kernels — no gather fallback."""
+    from phaneron_tpu.graph.pipeline import (
+        ChannelSpec,
+        LayerSpec,
+        make_channel_program,
+    )
+    from phaneron_tpu.ops.formats import get_format
+
+    w, h = 384, 64
+    m1 = transform_matrix(w, h, rotate=30 / 360.0, scale_x=0.9, scale_y=0.9)
+    m2 = transform_matrix(w, h, rotate=60 / 360.0, scale_x=0.9, scale_y=0.9)
+    c1 = rot_bucket_of(np.asarray(m1), w, h)
+    c2 = rot_bucket_of(np.asarray(m2), w, h)
+    assert c1 >= 0 and c2 >= 0 and c1 // 8 != c2 // 8
+
+    v210 = get_format("v210")
+    src = np.asarray(v210.fill_buf(w, h)[0])
+    src_b = np.roll(src, 7, axis=0)
+    layer = LayerSpec(
+        "v210", transition="dissolve", has_transform=True, axis_aligned=False,
+        src_b_format="v210", rot_bucket=c1, rot_bucket_b=c2, warp_same_mat=False,
+    )
+    spec = ChannelSpec(w, h, "v210", layers=(layer,), pallas_stages=True)
+    base = spec._replace(
+        pallas_stages=False,
+        layers=(layer._replace(rot_bucket=-1, rot_bucket_b=-1),),
+    )
+    params = {"layers": [{
+        "src": [src], "src_b": [src_b],
+        "matrix": jnp.asarray(m1), "matrix_b": jnp.asarray(m2),
+        "mix": jnp.float32(0.6),
+    }]}
+    a = np.asarray(make_channel_program(spec)(params)[0])
+    b = np.asarray(make_channel_program(base)(params)[0])
+    ya, _, _ = (np.asarray(q) for q in v210.unpack_codes([jnp.asarray(a)], w, h))
+    yb, _, _ = (np.asarray(q) for q in v210.unpack_codes([jnp.asarray(b)], w, h))
+    dy = np.abs(ya.astype(int) - yb.astype(int))
+    # at 30-60 degrees the rotated-border step band covers a visible
+    # fraction of this tiny frame; routing correctness shows as the
+    # overwhelming majority agreeing and a small mean (a wrong quarter
+    # or matrix would differ almost everywhere)
+    assert float((dy > 8).mean()) < 0.02, (dy > 8).mean()
+    assert float(np.median(dy)) == 0
+    assert float(dy.mean()) < 1.0, dy.mean()
 
 
 def test_channel_program_routes_through_rotate_kernel():
