@@ -35,6 +35,13 @@ def log(*a):
 HBM_GBPS = 820.0  # v5e peak; measurements below bytes/bandwidth are noise
 
 
+def r2(x, nd=2):
+    """round() that maps a failed (NaN) measurement to JSON null."""
+    import math
+
+    return None if (isinstance(x, float) and math.isnan(x)) else round(x, nd)
+
+
 def chain_ms(step, x0, n_small=8, n_large=64, floor_bytes=0):
     """Device ms/frame via RTT-cancelling dependent chains.
 
@@ -605,9 +612,18 @@ def main():
                     "uhd_4layer_pipeline_p99_ms": round(uhd_p99, 2),
                     "rotation_gather_1080p_ms": round(rot_ms, 2),
                     "rotation_pallas_1080p_ms": round(rotp_ms, 2),
+                    "rotation_worst_angle_ms": round(rot_worst_ms, 2),
+                    "hd4i_4channels_tick_ms": r2(i4_tick_ms),
+                    "hd4i_4channels_field_budget_pct": r2(
+                        i4_tick_ms / 20.0 * 100, 1
+                    ),
+                    "hd4i_2channels_tick_ms": r2(i2_tick_ms),
                     "k8_passthrough_fps": round(1000 / k8_ms, 1),
                     "k8_1layer_dve_ms": round(k8dve_ms, 2),
                     "k8_dve_sp4_projection_ms": round(k8dve_ms / 4, 2),
+                    "k8_composite_ms": r2(k8c_ms),
+                    "k8_composite_layers": k8c_layers,
+                    "k8_composite_sp4_projection_ms": r2(k8c_ms / 4),
                     "planar_unpack_1080p_ms": planar_ms,
                     "yadif_1080i_field_ms": round(deint_ms, 3),
                     "scaler_720_1080_pair_ms": round(scale_ms, 3),

@@ -180,6 +180,53 @@ ENABLE_PALLAS_WARP = True
 ENABLE_FUSED_COMPOSITE = False
 
 
+# Packed-source warp (ops.pallas_packed_warp): v210 decode inside the
+# warp window deletes each source's RGBA round trip (~2.1 GB/frame at
+# the UHD 4-layer shape).  ON: measured faster than the staged
+# unpack + RGBA pair-warp on hardware with distinct buffers.
+ENABLE_PACKED_WARP = True
+
+
+def _packed_layer_ok(lspec: LayerSpec, spec: ChannelSpec, lparams: dict) -> bool:
+    """True when this layer can run the packed-source warp: an
+    axis-aligned bucketed DVE over host-split v210 planes at channel
+    geometry, as a plain transform or a dissolve pair.  Used by BOTH
+    _batch_unpack_slots (to skip the pre-unpack) and _process_layer
+    (to dispatch the kernel) so a slot is never unpacked twice."""
+    if not (
+        ENABLE_PACKED_WARP
+        and ENABLE_PALLAS_WARP
+        and spec.pallas_stages
+        and lspec.has_transform
+        and lspec.axis_aligned
+        and lspec.warp_bucket >= 0
+        and not lspec.deinterlace
+        and lspec.src_size is None
+        and spec.width % 128 == 0
+        and spec.height % 8 == 0
+    ):
+        return False
+
+    def planes_ok(key, fmt):
+        wa = lparams.get(key)
+        return fmt == "v210" and wa is not None and wa[0].ndim == 3
+
+    from ..ops.pallas_packed_warp import packed_warp_fits
+
+    if lspec.transition == "dissolve":
+        n_mat = 1 if lspec.warp_same_mat else 2
+        return (
+            planes_ok("src", lspec.src_format)
+            and planes_ok("src_b", lspec.src_b_format or lspec.src_format)
+            and packed_warp_fits(spec.height, spec.width, lspec.warp_bucket, n_mat)
+        )
+    if lspec.transition == "none":
+        return planes_ok("src", lspec.src_format) and packed_warp_fits(
+            spec.height, spec.width, lspec.warp_bucket, 1
+        )
+    return False
+
+
 def _pick_warp(lspec: LayerSpec, spec: ChannelSpec):
     if not lspec.axis_aligned:
         if ENABLE_PALLAS_WARP and spec.pallas_stages and lspec.rot_bucket >= 0:
@@ -222,6 +269,32 @@ def _process_layer(
     lspec: LayerSpec, lparams: dict, spec: ChannelSpec,
     pre: dict | None = None, li: int | None = None,
 ) -> jnp.ndarray:
+    if (pre is None or (li, "src") not in pre) and _packed_layer_ok(
+        lspec, spec, lparams
+    ):
+        # decode + warp (+ dissolve mix) straight from the packed word
+        # planes — no RGBA round trip through HBM for this layer
+        from ..ops.pallas_packed_warp import (
+            make_packed_warp_pair_program,
+            make_packed_warp_program,
+        )
+
+        mat = lparams["matrix"]
+        if lspec.transition == "dissolve":
+            pairp = make_packed_warp_pair_program(
+                spec.height, spec.width, lspec.warp_bucket,
+                lspec.warp_same_mat, spec.col_spec, spec.out_col_spec,
+            )
+            return pairp(
+                lparams["src"][0], lparams["src_b"][0], mat,
+                lparams.get("matrix_b", mat), lparams["mix"],
+            )
+        wp = make_packed_warp_program(
+            spec.height, spec.width, lspec.warp_bucket,
+            spec.col_spec, spec.out_col_spec,
+        )
+        return wp(lparams["src"][0], mat)
+
     rgba = _layer_source(lspec, lspec.src_format, lparams, "src", spec, pre, li)
 
     if lspec.transition == "dissolve" and lspec.has_transform and _use_pallas_warp(
@@ -382,6 +455,8 @@ def _batch_unpack_slots(spec: ChannelSpec, params: dict) -> dict:
     for li, (ls, lp) in enumerate(zip(spec.layers, params["layers"])):
         if ls.deinterlace or ls.src_size is not None:
             continue
+        if _packed_layer_ok(ls, spec, lp):
+            continue  # the packed-source warp consumes these slots raw
         cands = [("src", ls.src_format)]
         if ls.transition in ("dissolve", "wipe"):
             cands.append(("src_b", ls.src_b_format or ls.src_format))
@@ -407,10 +482,79 @@ def _batch_unpack_slots(spec: ChannelSpec, params: dict) -> dict:
     return {slot: rgba for slot, rgba in zip(slots, rgbas)}
 
 
+def _packed_composite_ok(spec: ChannelSpec, params: dict) -> bool:
+    """Gate for the all-layers packed kernel: every layer is a bucketed
+    axis-aligned DVE from host-split v210 planes at channel geometry, a
+    cut or same-matrix dissolve, into a v210-only output."""
+    if not (
+        ENABLE_PACKED_WARP
+        and ENABLE_PALLAS_WARP
+        and spec.pallas_stages
+        and spec.layers
+        and spec.out_format == "v210"
+        and not spec.emit_rgba
+    ):
+        return False
+    for ls, lp in zip(spec.layers, params["layers"]):
+        if ls.transition not in ("none", "dissolve"):
+            return False
+        if not (ls.has_transform and ls.axis_aligned and ls.warp_bucket >= 0):
+            return False
+        if ls.deinterlace or ls.src_size is not None:
+            return False
+        if ls.src_format != "v210":
+            return False
+        wa = lp.get("src")
+        if wa is None or wa[0].ndim != 3:
+            return False
+        if ls.transition == "dissolve":
+            if not ls.warp_same_mat:
+                return False
+            if (ls.src_b_format or ls.src_format) != "v210":
+                return False
+            wb = lp.get("src_b")
+            if wb is None or wb[0].ndim != 3:
+                return False
+    from ..ops.pallas_packed_warp import packed_composite_fits
+
+    return packed_composite_fits(
+        spec.height,
+        spec.width,
+        max(ls.warp_bucket for ls in spec.layers),
+        len(spec.layers),
+    )
+
+
 def _channel_frame(spec: ChannelSpec, params: dict):
     """params = {'layers': [per-layer dicts bottom..top]} -> packed planes
     (and the composited RGBA when spec.emit_rgba)."""
     h, w = spec.height, spec.width
+    if _packed_composite_ok(spec, params):
+        # the whole frame in ONE kernel: packed sources -> in-window
+        # decode -> premixed warps -> over-composite -> v210 pack.
+        # HBM traffic is packed words in + packed words out.
+        from ..ops.pallas_kernels import planes_to_words
+        from ..ops.pallas_packed_warp import make_packed_composite_program
+
+        layer_cfg = tuple(
+            2 if ls.transition == "dissolve" else 1 for ls in spec.layers
+        )
+        progc = make_packed_composite_program(
+            h, w,
+            max(ls.warp_bucket for ls in spec.layers),
+            layer_cfg, spec.col_spec, spec.out_col_spec,
+        )
+        srcs, mats, mixes = [], [], []
+        for ls, lp in zip(spec.layers, params["layers"]):
+            srcs.append(lp["src"][0])
+            if ls.transition == "dissolve":
+                srcs.append(lp["src_b"][0])
+                mixes.append(jnp.asarray(lp["mix"], jnp.float32))
+            else:
+                mixes.append(jnp.float32(1.0))
+            mats.append(jnp.asarray(lp["matrix"], jnp.float32))
+        planes = progc(srcs, jnp.stack(mats), jnp.stack(mixes))
+        return [planes_to_words(planes)]
     use_fused = False
     if spec.pallas_stages and ENABLE_FUSED_COMPOSITE:
         from ..ops.pallas_composite import composite_supported

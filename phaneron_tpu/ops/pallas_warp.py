@@ -244,41 +244,16 @@ def _make_program(
             rw = jnp.where(kk == y0i, w0, 0.0) + jnp.where(kk == y0i + 1, w1, 0.0)
             return _hi_lo(rw)
 
-        def process_source(s):
-            """Window -> bf16 split -> next DMA -> row pass -> col pass,
-            accumulating into out_ref (sequential sources: one window
-            buffer; source s+1's DMA overlaps source s's matmuls)."""
-            m = min(s, n_mat - 1)
-            window_dma(i, s).wait()
-
-            def start_next():
-                if s + 1 < n_src:
-                    window_dma(i, s + 1).start()
-                else:
-
-                    @pl.when(i + 1 < n_blocks)
-                    def _():
-                        window_dma(i + 1, 0).start()
-
-            if _variant == "dma":
-                out_ref[:] = winbuf[:, :rpb, :]
-                start_next()
-                return
-
-            # split the window into bf16 hi/lo; winbuf is then dead and
-            # the next DMA can stream into it
-            if _variant == "cols":
-                for c in range(4):
-                    vh, vl = _hi_lo(winbuf[c, :rpb, :])
-                    rows2[0, c] = vh
-                    rows2[1, c] = vl
+        def start_next(s):
+            if s + 1 < n_src:
+                window_dma(i, s + 1).start()
             else:
-                for c in range(4):
-                    vh, vl = _hi_lo(winbuf[c])
-                    win2[0, c] = vh
-                    win2[1, c] = vl
-            start_next()
 
+                @pl.when(i + 1 < n_blocks)
+                def _():
+                    window_dma(i + 1, 0).start()
+
+        def row_col_passes(m, s, gain=None, accumulate_out=False):
             # ---- row pass: rows = rw @ win per channel on the MXU
             rwh, rwl = row_weights(m)
             if _variant != "cols":
@@ -301,9 +276,6 @@ def _make_program(
             # chunk (values can't be dynamically sliced in Mosaic; refs
             # can).  fori_loop, NOT a Python loop: full unrolling at UHD
             # overflows the Mosaic scoped-vmem stack.
-            if mixing and not wipe:
-                gain = mix_ref[0, 0] if s == 0 else 1.0 - mix_ref[0, 0]
-
             def one_chunk(j):
                 o0 = pl.multiple_of(j * COL_CHUNK, COL_CHUNK)
                 if persist_cw:
@@ -321,17 +293,15 @@ def _make_program(
                     + jnp.dot(fl, cw[store, 0], preferred_element_type=jnp.float32)
                     + jnp.dot(fh, cw[store, 1], preferred_element_type=jnp.float32)
                 ).reshape(4, rpb, COL_CHUNK)
-                if mixing:
-                    # identical arithmetic to the two-kernel form:
-                    # dissolve out = warp(a)*mix + warp(b)*(1-mix);
-                    # wipe     out = warp(a)*(1-m) + warp(b)*m per pixel
-                    if wipe:
-                        mtile = mix_ref[:, pl.ds(o0, COL_CHUNK)]
-                        chunk = chunk * ((1.0 - mtile) if s == 0 else mtile)
-                    else:
-                        chunk = chunk * gain
-                    if s > 0:
-                        chunk = out_ref[:, :, pl.ds(o0, COL_CHUNK)] + chunk
+                if wipe:
+                    # wipe masks in OUTPUT space (transition.ts:66-74):
+                    # out = warp(a)*(1-m) + warp(b)*m per pixel
+                    mtile = mix_ref[:, pl.ds(o0, COL_CHUNK)]
+                    chunk = chunk * ((1.0 - mtile) if s == 0 else mtile)
+                elif gain is not None:
+                    chunk = chunk * gain
+                if accumulate_out:
+                    chunk = out_ref[:, :, pl.ds(o0, COL_CHUNK)] + chunk
                 out_ref[:, :, pl.ds(o0, COL_CHUNK)] = chunk
 
             # unrolled x2 inside the loop: the TPU scalar core's
@@ -345,8 +315,68 @@ def _make_program(
 
             jax.lax.fori_loop(0, n_chunks // unroll, chunk_body, 0)
 
-        for s in range(n_src):
-            process_source(s)
+        def split_window(gain=None, accumulate=False):
+            """winbuf f32 -> win2 bf16 hi/lo (winbuf is then dead and
+            the next DMA can stream into it).  ``gain``/``accumulate``
+            implement the PREMIX dissolve: win2 = a*mix + b*(1-mix)."""
+            for c in range(4):
+                val = winbuf[c]
+                if gain is not None:
+                    val = val * gain
+                if accumulate:
+                    val = val + (
+                        win2[0, c].astype(jnp.float32)
+                        + win2[1, c].astype(jnp.float32)
+                    )
+                vh, vl = _hi_lo(val)
+                win2[0, c] = vh
+                win2[1, c] = vl
+
+        def process_source(s):
+            """Window -> bf16 split -> next DMA -> row pass -> col pass,
+            accumulating into out_ref (sequential sources: one window
+            buffer; source s+1's DMA overlaps source s's matmuls)."""
+            m = min(s, n_mat - 1)
+            window_dma(i, s).wait()
+
+            if _variant == "dma":
+                out_ref[:] = winbuf[:, :rpb, :]
+                start_next(s)
+                return
+
+            if _variant == "cols":
+                for c in range(4):
+                    vh, vl = _hi_lo(winbuf[c, :rpb, :])
+                    rows2[0, c] = vh
+                    rows2[1, c] = vl
+            else:
+                split_window()
+            start_next(s)
+            if mixing and not wipe:
+                row_col_passes(
+                    m, s,
+                    gain=mix_ref[0, 0] if s == 0 else 1.0 - mix_ref[0, 0],
+                    accumulate_out=s > 0,
+                )
+            else:
+                row_col_passes(m, s, accumulate_out=wipe and s > 0)
+
+        if mixing and not wipe and n_mat == 1:
+            # PREMIX: a same-matrix dissolve mixes the two windows and
+            # warps ONCE — the bilinear warp is linear in its source, so
+            # warp(a)*mix + warp(b)*(1-mix) == warp(a*mix + b*(1-mix)),
+            # at half the row/column passes (the wipe's mask lives in
+            # output space and cannot premix)
+            window_dma(i, 0).wait()
+            split_window(gain=mix_ref[0, 0])
+            window_dma(i, 1).start()
+            window_dma(i, 1).wait()
+            split_window(gain=1.0 - mix_ref[0, 0], accumulate=True)
+            start_next(1)
+            row_col_passes(0, 0)
+        else:
+            for s in range(n_src):
+                process_source(s)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # row_off (n_mat, n_blocks)

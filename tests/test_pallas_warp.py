@@ -109,7 +109,12 @@ def test_warp_pair_matches_two_warps_plus_mix(same_mat):
     got = np.asarray(
         pair(a, b, jnp.asarray(ma), jnp.asarray(mb), jnp.float32(mix))
     )
-    assert np.abs(want - got).max() <= 1e-6
+    # same_mat PREMIXES the windows (warp is linear in its source), so
+    # the mixed values pass through one bf16 hi/lo split instead of two
+    # — same ~2^-17 class as warp-vs-gather, not bit-identical order;
+    # different matrices keep the two-pass arithmetic exactly
+    tol = 5e-5 if same_mat else 1e-6
+    assert np.abs(want - got).max() <= tol
 
 
 def test_channel_program_uses_pair_kernel():
