@@ -512,7 +512,7 @@ def _composite_config(height: int, width: int, bucket: int, n_layers: int):
         # the alpha plane never rides in the window: warp(1) is the
         # separable rowsum(rw) x colsum(cw), so every buffer is 3-channel
         total = (
-            4 * win_r * gp * 4  # packed window
+            2 * 4 * win_r * gp * 4  # DOUBLE-BUFFERED packed windows
             + 2 * 12 * win_r * g2p * 2  # phase planes hi/lo
             + 2 * 3 * win_r * width * 2  # decoded window hi/lo (rgb)
             + 2 * 3 * rpb * width * 2  # rows2 (rgb)
@@ -557,6 +557,8 @@ def make_packed_composite_program(
     the staged path)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    import os
+    _abl = os.environ.get("PKW_ABLATE", "full")  # perf isolation only
     cfg = _composite_config(height, width, bucket, len(layer_cfg))
     assert cfg is not None, "caller gates on packed_composite_fits"
     rpb, win_r, win_c, _ = cfg
@@ -592,16 +594,29 @@ def make_packed_composite_program(
 
         i = pl.program_id(0)
 
-        def window_dma(block, s):
+        def window_dma(block, s, slot):
             m = src_layer[s]
             r0 = pl.multiple_of(row_off_ref[m, block], 8)
             return pltpu.make_async_copy(
-                src_refs[s].at[:, pl.ds(r0, win_r), :], winbuf, sem
+                src_refs[s].at[:, pl.ds(r0, win_r), :],
+                winbuf.at[slot],
+                sem.at[slot],
             )
+
+        # TWO windows in flight at all times (slot = s % 2): source
+        # s+1 streams while source s decodes, so DMA latency never
+        # serializes with the per-source math.  Each block's tail
+        # prefetches the next block's first two windows.  Requires S
+        # EVEN so the slot parity is consistent across blocks (odd S
+        # would refill a slot the next source still holds); odd-S
+        # programs run single-buffered.
+        dbuf = S > 1 and S % 2 == 0
 
         @pl.when(i == 0)
         def _first():
-            window_dma(0, 0).start()
+            window_dma(0, 0, 0).start()
+            if dbuf:
+                window_dma(0, 1, 1).start()
 
         def build_cw(j, m):
             c0 = pl.multiple_of(col_off_ref[m, j], COL_CHUNK)
@@ -634,9 +649,9 @@ def make_packed_composite_program(
             # row weight sums: the other half of the separable alpha
             return rwh, rwl, jnp.sum(rw, axis=1, keepdims=True)
 
-        def decode_window():
+        def decode_window(slot):
             ys, cbs, crs = _unpack_phases(
-                winbuf[0], winbuf[1], winbuf[2], winbuf[3]
+                winbuf[slot, 0], winbuf[slot, 1], winbuf[slot, 2], winbuf[slot, 3]
             )
             vals[:, :, :, g:] = jnp.zeros((2, 12, win_r, g2 - g), jnp.bfloat16)
             for q, plane in enumerate(list(ys) + list(cbs) + list(crs)):
@@ -701,17 +716,25 @@ def make_packed_composite_program(
             n_src = layer_cfg[m]
             for role in range(n_src):
                 s = s0 + role
-                window_dma(i, s).wait()
-                decode_window()
-                # winbuf free: stream the next window behind the math
-                if s + 1 < S:
-                    window_dma(i, s + 1).start()
+                slot = s % 2 if dbuf else 0
+                window_dma(i, s, slot).wait()
+                decode_window(slot)
+                # slot free: refill it two sources ahead (wrapping into
+                # the next block, whose slot parity matches because S
+                # is even), or one ahead when single-buffered
+                t = s + (2 if dbuf else 1)
+                if t < S:
+                    window_dma(i, t, t % 2 if dbuf else 0).start()
                 else:
 
                     @pl.when(i + 1 < n_blocks)
                     def _():
-                        window_dma(i + 1, 0).start()
+                        window_dma(
+                            i + 1, t - S, (t - S) % 2 if dbuf else 0
+                        ).start()
 
+                if _abl == "dma":
+                    continue
                 if n_src == 2:
                     mix = mix_ref[m, 0]
                     decode_chunks(
@@ -720,6 +743,15 @@ def make_packed_composite_program(
                     )
                 else:
                     decode_chunks()
+            if _abl in ("dma", "decode"):
+                for c in range(3):
+                    comp[c, :, pl.ds(0, COL_CHUNK)] = win2[
+                        0, c, :rpb, pl.ds(0, COL_CHUNK)
+                    ].astype(jnp.float32)
+                comp[3, :, pl.ds(0, COL_CHUNK)] = jnp.ones(
+                    (rpb, COL_CHUNK), jnp.float32
+                )
+                return
 
             rwh, rwl, rsum = row_weights(m)
             for c in range(3):
@@ -731,6 +763,15 @@ def make_packed_composite_program(
                 rh, rl = _hi_lo(rows)
                 rows2[0, c] = rh
                 rows2[1, c] = rl
+            if _abl == "rows":
+                for c in range(3):
+                    comp[c, :, pl.ds(0, COL_CHUNK)] = rows2[
+                        0, c, :, pl.ds(0, COL_CHUNK)
+                    ].astype(jnp.float32)
+                comp[3, :, pl.ds(0, COL_CHUNK)] = jnp.ones(
+                    (rpb, COL_CHUNK), jnp.float32
+                )
+                return
 
             def one_chunk(j):
                 o0 = pl.multiple_of(j * COL_CHUNK, COL_CHUNK)
@@ -820,7 +861,7 @@ def make_packed_composite_program(
             for _ in range(4)
         ],
         scratch_shapes=[
-            pltpu.VMEM((4, win_r, g), jnp.uint32),
+            pltpu.VMEM((2, 4, win_r, g), jnp.uint32),
             pltpu.VMEM((2, 12, win_r, g2), jnp.bfloat16),
             pltpu.VMEM((2, 3, win_r, width), jnp.bfloat16),
             pltpu.VMEM((2, 3, rpb, width), jnp.bfloat16),
@@ -829,7 +870,7 @@ def make_packed_composite_program(
             pltpu.VMEM((2, 3, rpb, 768), jnp.bfloat16),
             pltpu.VMEM((2, win_c, COL_CHUNK), jnp.bfloat16),
             pltpu.VMEM((1, COL_CHUNK), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     call = pl.pallas_call(

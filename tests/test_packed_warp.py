@@ -204,3 +204,44 @@ def test_pitch_padded_width():
         )
     )
     assert np.abs(want - got).max() <= 1e-4, np.abs(want - got).max()
+
+
+def test_packed_composite_even_sources_double_buffered():
+    """Even source counts run the double-buffered window pipeline
+    (slot = s % 2 across block boundaries); parity must hold."""
+    from phaneron_tpu.graph.pipeline import (
+        ChannelSpec,
+        LayerSpec,
+        make_channel_program,
+    )
+    from phaneron_tpu.ops.pallas_kernels import planes_to_words
+    from phaneron_tpu.ops.pallas_packed_warp import make_packed_composite_program
+
+    w, h = 768, 64
+    v210 = get_format("v210")
+    mats = [
+        transform_matrix(w, h, scale_x=0.9, scale_y=0.9, offset_x=0.02 + 0.01 * i)
+        for i in range(2)
+    ]
+    bucket = bucket_of(*mats)
+    srcs = [_planes(w, h, roll=5 * k + 2) for k in range(4)]
+    comp = make_packed_composite_program(h, w, bucket, (2, 2), interpret=True)
+    got = np.asarray(planes_to_words(comp(
+        srcs, jnp.stack([jnp.asarray(m) for m in mats]),
+        jnp.asarray([0.35, 0.6], np.float32),
+    )))
+    layer = LayerSpec(
+        "v210", transition="dissolve", has_transform=True, axis_aligned=True,
+        src_b_format="v210", warp_bucket=-1,
+    )
+    base = ChannelSpec(w, h, "v210", layers=(layer,) * 2, pallas_stages=False)
+    params = {"layers": [
+        {"src": [planes_to_words(srcs[2 * i])],
+         "src_b": [planes_to_words(srcs[2 * i + 1])],
+         "matrix": jnp.asarray(mats[i]), "mix": jnp.float32([0.35, 0.6][i])}
+        for i in range(2)
+    ]}
+    want = np.asarray(make_channel_program(base)(params)[0])
+    ya, _, _ = (np.asarray(q) for q in v210.unpack_codes([jnp.asarray(got)], w, h))
+    yb, _, _ = (np.asarray(q) for q in v210.unpack_codes([jnp.asarray(want)], w, h))
+    assert np.abs(ya.astype(int) - yb.astype(int)).max() <= 1

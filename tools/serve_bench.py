@@ -115,47 +115,74 @@ class FakeGenlock:
         pass
 
 
-async def run_interlaced(seconds):
-    """Config 4: 1080i ingest -> yadif -> interlaced SDI playout."""
+async def run_interlaced(seconds, n_channels=1):
+    """Config 4: 1080i ingest -> yadif -> interlaced SDI playout.
+
+    n_channels=4 is the reference's ACTUAL default load (index.ts:45-71
+    configures four 1080i5000 channels): invoke with
+    `python tools/serve_bench.py <secs> interlaced4` to pace all four
+    on one chip and read the honest late counts."""
     from phaneron_tpu.consumer.sdi_consumer import SDIConsumer
     from phaneron_tpu.producer.raw_file import create_raw_file_producer
     from phaneron_tpu.utils.fixtures import write_interlaced_v210
 
     tmp = Path(tempfile.mkdtemp(prefix="phaneron_1080i_"))
     n_clip = 16
-    path, _ = write_interlaced_v210(tmp, 1920, 1080, n_frames=n_clip)
     fmt = get_video_format("1080i5000")
-    reg = ProducerRegistry([create_raw_file_producer])
-    ch = Channel(5, fmt, reg)
-    backend = FakeGenlock()
-    sdi = SDIConsumer({"backend": backend})
-    await ch.add_consumer(sdi)
-    assert await ch.load_source(1, LoadParams(str(path), loop=True))
-    ch.play(1)
+    channels, backends, sdis = [], [], []
+    for c in range(n_channels):
+        # per-channel DISTINCT clips: shared device buffers would let
+        # trace dedup collapse per-channel work (BENCH HONESTY)
+        path, _ = write_interlaced_v210(
+            tmp, 1920, 1080, n_frames=n_clip, name=f"clip{c}"
+        )
+        reg = ProducerRegistry([create_raw_file_producer])
+        ch = Channel(5 + c, fmt, reg)
+        backend = FakeGenlock()
+        sdi = SDIConsumer({"backend": backend})
+        await ch.add_consumer(sdi)
+        assert await ch.load_source(1, LoadParams(str(path), loop=True))
+        ch.play(1)
+        channels.append(ch)
+        backends.append(backend)
+        sdis.append(sdi)
     # warm one full loop: compiles the yadif+pack programs AND lands the
-    # looping clip in the producer's HBM frame cache — steady state then
-    # ingests with zero host->device traffic (this environment's host
-    # link is a ~30 MB/s WAN tunnel; production is PCIe)
-    for _ in range(2 * n_clip + 6):
-        await ch.render_frame()
-    ch.clock.reset()
-    ch.timestamp = 0
-    ch.frame_times.clear()
-    ch.start()
+    # looping clips in the producers' HBM frame caches — steady state
+    # then ingests with zero host->device traffic (this environment's
+    # host link is a ~30 MB/s WAN tunnel; production is PCIe)
+    for ch in channels:
+        for _ in range(2 * n_clip + 6):
+            await ch.render_frame()
+    for ch in channels:
+        ch.clock.reset()
+        ch.timestamp = 0
+        ch.frame_times.clear()
+        ch.start()
     await asyncio.sleep(seconds)
-    s = ch.stats()
-    print("--- 1080i50 ingest -> yadif -> SDI (fake genlock)")
-    print(
-        f"ch{s['channel']}: fields={s['frames']} late={s['late_frames']} "
-        f"displayed_frames={backend.displayed} sdi_late={sdi.late_frames} "
-        f"render_p50={s['render_p50_ms']:.2f}ms p99={s['render_p99_ms']:.2f}ms"
-    )
-    await ch.shutdown()
-    return s["late_frames"] + sdi.late_frames, backend.displayed
+    total_late = 0
+    total_displayed = 0
+    print(f"--- {n_channels}x 1080i50 ingest -> yadif -> SDI (fake genlock)")
+    for ch, backend, sdi in zip(channels, backends, sdis):
+        s = ch.stats()
+        total_late += s["late_frames"] + sdi.late_frames
+        total_displayed += backend.displayed
+        print(
+            f"ch{s['channel']}: fields={s['frames']} late={s['late_frames']} "
+            f"displayed_frames={backend.displayed} sdi_late={sdi.late_frames} "
+            f"render_p50={s['render_p50_ms']:.2f}ms p99={s['render_p99_ms']:.2f}ms"
+        )
+    for ch in channels:
+        await ch.shutdown()
+    return total_late, total_displayed
 
 
 async def main():
     seconds = float(sys.argv[1]) if len(sys.argv) > 1 else 12.0
+    if "interlaced4" in sys.argv[2:]:  # the reference's default load
+        late4, displayed4 = await run_interlaced(seconds, n_channels=4)
+        print(f"4x1080i50 total late={late4} displayed={displayed4} "
+              f"(honest: one chip; see configs/quad_1080i_2chip.json)")
+        return
     if "interlaced" in sys.argv[2:]:  # run only config 4 (iteration aid)
         late3, displayed = await run_interlaced(seconds)
         assert late3 <= max(1, int(0.02 * seconds * 50)), f"1080i late: {late3}"
