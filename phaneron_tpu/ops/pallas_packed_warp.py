@@ -116,8 +116,13 @@ def _config(height: int, width: int, bucket: int, n_mat: int) -> _PCfg:
 
 
 def packed_warp_fits(height: int, width: int, bucket: int, n_mat: int = 1) -> bool:
-    """Gate for the packed-source warp path (pipeline._process_layer)."""
-    if bucket < 0 or width % COL_CHUNK or height % 8:
+    """Gate for the packed-source warp path (pipeline._process_layer).
+    The window DMA slices the word planes' minor (group) dimension, and
+    Mosaic requires that slice 128-aligned — so the packed family only
+    serves widths whose group count is a 128 multiple (width % 768 == 0:
+    UHD, 8K; HD keeps the staged unpack + RGBA premix pair)."""
+    g = v210fmt.pitch(width) // 6
+    if bucket < 0 or width % COL_CHUNK or height % 8 or g % 128:
         return False
     try:
         _config(height, width, bucket, n_mat)
@@ -557,8 +562,6 @@ def make_packed_composite_program(
     the staged path)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    import os
-    _abl = os.environ.get("PKW_ABLATE", "full")  # perf isolation only
     cfg = _composite_config(height, width, bucket, len(layer_cfg))
     assert cfg is not None, "caller gates on packed_composite_fits"
     rpb, win_r, win_c, _ = cfg
@@ -733,8 +736,6 @@ def make_packed_composite_program(
                             i + 1, t - S, (t - S) % 2 if dbuf else 0
                         ).start()
 
-                if _abl == "dma":
-                    continue
                 if n_src == 2:
                     mix = mix_ref[m, 0]
                     decode_chunks(
@@ -743,15 +744,6 @@ def make_packed_composite_program(
                     )
                 else:
                     decode_chunks()
-            if _abl in ("dma", "decode"):
-                for c in range(3):
-                    comp[c, :, pl.ds(0, COL_CHUNK)] = win2[
-                        0, c, :rpb, pl.ds(0, COL_CHUNK)
-                    ].astype(jnp.float32)
-                comp[3, :, pl.ds(0, COL_CHUNK)] = jnp.ones(
-                    (rpb, COL_CHUNK), jnp.float32
-                )
-                return
 
             rwh, rwl, rsum = row_weights(m)
             for c in range(3):
@@ -763,16 +755,6 @@ def make_packed_composite_program(
                 rh, rl = _hi_lo(rows)
                 rows2[0, c] = rh
                 rows2[1, c] = rl
-            if _abl == "rows":
-                for c in range(3):
-                    comp[c, :, pl.ds(0, COL_CHUNK)] = rows2[
-                        0, c, :, pl.ds(0, COL_CHUNK)
-                    ].astype(jnp.float32)
-                comp[3, :, pl.ds(0, COL_CHUNK)] = jnp.ones(
-                    (rpb, COL_CHUNK), jnp.float32
-                )
-                return
-
             def one_chunk(j):
                 o0 = pl.multiple_of(j * COL_CHUNK, COL_CHUNK)
                 build_cw(j, m)

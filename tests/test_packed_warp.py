@@ -24,7 +24,7 @@ from phaneron_tpu.ops.pallas_warp import (
     make_warp_program,
 )
 
-W, H = 384, 64
+W, H = 768, 64  # width % 768: group count 128-aligned (the TPU gate)
 
 
 def _planes(w, h, roll=0):
@@ -92,7 +92,7 @@ def test_channel_program_routes_packed():
         make_channel_program,
     )
 
-    w, h = 384, 64
+    w, h = 768, 64
     v210 = get_format("v210")
     ma = transform_matrix(w, h, scale_x=0.9, scale_y=0.9, offset_x=0.02)
     layer = LayerSpec(
@@ -193,7 +193,10 @@ def test_pitch_padded_width():
     planes = _planes(w, h)
     m = transform_matrix(w, h, scale_x=1.1, offset_x=-0.3)
     bucket = bucket_of(m)
-    assert packed_warp_fits(h, w, bucket)
+    # ELIGIBLE widths (w % 768 == 0) are always pad-free, so this
+    # geometry never reaches the TPU gate — it still validates the
+    # kernel's pad-tail masking math in interpret mode
+    assert not packed_warp_fits(h, w, bucket)
     rgba = make_v210_unpack_rgba(w, h, interpret=True)(planes)
     want = np.asarray(
         make_warp_program(h, w, bucket, interpret=True)(rgba, jnp.asarray(m))
