@@ -128,20 +128,27 @@ def composite_step(
     spec = ChannelSpec(w, h, "v210", layers=(layer,) * n_layers, pallas_stages=pallas)
     prog = make_channel_program(spec)
 
+    # statics ride as jit ARGUMENTS, not closure constants: captured
+    # device arrays serialize into the compile payload (GBs at UHD),
+    # blowing compile times and the remote service's size limit
     @jax.jit
-    def step(x):
-        srcs = [x] + statics
+    def raw_step(x, *flat):
+        srcs = [x] + list(flat[: 2 * n_layers - 1])
+        fmats = flat[2 * n_layers - 1 :]
         layers = [
             {
                 "src": [srcs[2 * i]],
                 "src_b": [srcs[2 * i + 1]],
-                "matrix": mats[i],
+                "matrix": fmats[i],
                 "mix": jnp.float32(0.4 + 0.05 * i),
             }
             for i in range(n_layers)
         ]
         out = prog({"layers": layers})[0]
         return x ^ (out.reshape(-1)[0] & jnp.uint32(1))
+
+    def step(x):
+        return raw_step(x, *statics, *mats)
 
     return step
 
@@ -231,10 +238,26 @@ def interlaced_channels_step(n_channels: int, interpret: bool, w=1920, h=1080):
         ]
         chans.append((words, aged, mats))
 
+    # all statics ride as jit ARGUMENTS: closing over ~2 GB of device
+    # arrays bakes them into the lowering as captured constants, whose
+    # serialized payload overflows the remote compile service
+    flat_args = []
+    for words, aged, mats in chans:
+        flat_args += words
+        flat_args += [a for pair in aged for a in pair]
+        flat_args += mats
+
     @jax.jit
-    def step(x):
+    def raw_step(x, *flat):
         out_bit = jnp.uint32(0)
-        for c, (words, aged, mats) in enumerate(chans):
+        idx = 0
+        for c in range(n_channels):
+            words = flat[idx : idx + 8]
+            idx += 8
+            aged = [[flat[idx + 2 * s], flat[idx + 2 * s + 1]] for s in range(8)]
+            idx += 16
+            mats = flat[idx : idx + 4]
+            idx += 4
             srcs = [x if c == 0 and s == 0 else words[s] for s in range(8)]
             fresh = [unpack([sw]) for sw in srcs]
             rings = [
@@ -260,6 +283,9 @@ def interlaced_channels_step(n_channels: int, interpret: bool, w=1920, h=1080):
             pair = pack_pair(fields[0], fields[1])
             out_bit = out_bit ^ (pair[0].reshape(-1)[0] & jnp.uint32(1))
         return x ^ out_bit
+
+    def step(x):
+        return raw_step(x, *flat_args)
 
     return step
 

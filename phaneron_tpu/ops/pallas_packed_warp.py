@@ -508,7 +508,7 @@ def _composite_config(height: int, width: int, bucket: int, n_layers: int):
         return None
     bound, preferred = BUCKET_BOUNDS[bucket]
     gp = _ceil_to(g, 128)
-    g2p = _ceil_to(g + 24, 128)
+    g2p = _ceil_to(g + 152, 128)  # sextet decode window tail
     win_c = min(_ceil_to(bound * (COL_CHUNK - 1) + 2 + (COL_CHUNK - 1), 128), width)
 
     for rpb_pref in (preferred, 32, 24, 16, 8):
@@ -522,14 +522,19 @@ def _composite_config(height: int, width: int, bucket: int, n_layers: int):
             + 2 * 3 * win_r * width * 2  # decoded window hi/lo (rgb)
             + 2 * 3 * rpb * width * 2  # rows2 (rgb)
             + 2 * 3 * rpb * win_c * 2  # flat2 (rgb)
-            + 4 * rpb * width * 4  # composite accumulator (rgb + alpha)
+            + 3 * rpb * width * 4  # composite accumulator (rgb only:
+            # 'over' needs the TOP layer's separable alpha and the
+            # pack ignores alpha, so none is ever stored
             + 2 * 3 * rpb * 768 * 2  # per-chunk encode codes
             + 768 * 768 * 2  # pack one-hot
             + (3 * 144 * 128 + 3 * 72 * 128) * 2  # unpack one-hots
             + 2 * 4 * rpb * gp * 4  # double-buffered out word planes
             + 2 * win_c * COL_CHUNK * 2  # cw (rebuilt per chunk)
+            + 24 * win_r * 256 * 2  # sextet decode windows (stack)
+            + 1 * 1024 * 1024  # Mosaic stack slop (calibrated on HW:
+            # UHD rpb 40 measures 15.9M actual vs ~14.9M accounted)
         )
-        if total <= P_VMEM_BUDGET:
+        if total <= 16 * 1024 * 1024:
             return _PCfg(rpb, win_r, win_c, False)
     return None
 
@@ -568,8 +573,11 @@ def make_packed_composite_program(
     n_blocks = height // rpb
     n_chunks = width // COL_CHUNK
     g = v210fmt.pitch(width) // 6
-    g2 = g + 24
+    # zero tail sized for the SEXTET decode windows: a (win_r, 256)
+    # window at the last 128-aligned group base reaches g + 152
+    g2 = g + 152
     n_gchunks = g // 128
+    n_sext = n_chunks // 6  # width % 768 == 0 (packed_composite_fits)
     L = len(layer_cfg)
     src_layer: list[int] = []
     src_role: list[int] = []
@@ -620,6 +628,9 @@ def make_packed_composite_program(
             window_dma(0, 0, 0).start()
             if dbuf:
                 window_dma(0, 1, 1).start()
+            # zero the phase-plane tail ONCE: sources only ever write
+            # [:g], and scratch persists across grid steps
+            vals[:, :, :, g:] = jnp.zeros((2, 12, win_r, g2 - g), jnp.bfloat16)
 
         def build_cw(j, m):
             c0 = pl.multiple_of(col_off_ref[m, j], COL_CHUNK)
@@ -656,7 +667,6 @@ def make_packed_composite_program(
             ys, cbs, crs = _unpack_phases(
                 winbuf[slot, 0], winbuf[slot, 1], winbuf[slot, 2], winbuf[slot, 3]
             )
-            vals[:, :, :, g:] = jnp.zeros((2, 12, win_r, g2 - g), jnp.bfloat16)
             for q, plane in enumerate(list(ys) + list(cbs) + list(crs)):
                 vals[0, q, :, :g] = (
                     (plane >> 2).astype(jnp.float32).astype(jnp.bfloat16)
@@ -665,51 +675,68 @@ def make_packed_composite_program(
                     (plane & 3).astype(jnp.float32).astype(jnp.bfloat16)
                 )
 
-        def deint(qs, base, w):
-            fh = jnp.concatenate(
-                [vals[0, q, :, base : base + 24] for q in qs], axis=1
-            )
-            fl = jnp.concatenate(
-                [vals[1, q, :, base : base + 24] for q in qs], axis=1
-            )
-            return 4.0 * jnp.dot(
-                fh, w, preferred_element_type=jnp.float32
-            ) + jnp.dot(fl, w, preferred_element_type=jnp.float32)
-
         def decode_chunks(gain=None, accumulate=False):
-            for j in range(n_chunks):
-                wy = wy_ref[j % 3]
-                wc = wc_ref[j % 3]
-                b, bc = (128 * j) // 6, (64 * j) // 3
-                ysp = deint(range(6), b, wy)
-                usp = deint(range(6, 9), bc, wc)
-                vsp = deint(range(9, 12), bc, wc)
-                gam = [
-                    col_fwd[c][0] * ysp
-                    + col_fwd[c][1] * usp
-                    + col_fwd[c][2] * vsp
-                    + col_fwd[c][3]
-                    for c in range(3)
-                ]
-                lin = [g2l(gam[c]) for c in range(3)]
-                sl = pl.ds(128 * j, COL_CHUNK)
-                for c in range(3):
-                    val = (
-                        gamut[c][0] * lin[0]
-                        + gamut[c][1] * lin[1]
-                        + gamut[c][2] * lin[2]
+            # fori over SEXTETS of chunks: chunk j = 6u + k has group
+            # base 128u + (128k)//6 and chroma base 128u + (64k)//3 —
+            # the dynamic part is 128-ALIGNED (Mosaic-legal window
+            # offset) and every within-sextet offset is static, so the
+            # traced body holds 6 chunk bodies instead of n_chunks.
+            # This is what keeps the program small enough to compile
+            # (an unrolled 8K decode overflowed the compile service).
+            def sextet(u, _):
+                base = pl.multiple_of(u * 128, 128)
+                winh = [vals[0, q, :, pl.ds(base, 256)] for q in range(12)]
+                winl = [vals[1, q, :, pl.ds(base, 256)] for q in range(12)]
+
+                def deint6(qs, off, w):
+                    fh = jnp.concatenate(
+                        [winh[q][:, off : off + 24] for q in qs], axis=1
                     )
-                    if gain is not None:
-                        val = val * gain
-                    if accumulate:
-                        val = val + (
-                            win2[0, c, :, sl].astype(jnp.float32)
-                            + win2[1, c, :, sl].astype(jnp.float32)
+                    fl = jnp.concatenate(
+                        [winl[q][:, off : off + 24] for q in qs], axis=1
+                    )
+                    return 4.0 * jnp.dot(
+                        fh, w, preferred_element_type=jnp.float32
+                    ) + jnp.dot(fl, w, preferred_element_type=jnp.float32)
+
+                for k in range(6):
+                    wy = wy_ref[k % 3]
+                    wc = wc_ref[k % 3]
+                    b_off, c_off = (128 * k) // 6, (64 * k) // 3
+                    ysp = deint6(range(6), b_off, wy)
+                    usp = deint6(range(6, 9), c_off, wc)
+                    vsp = deint6(range(9, 12), c_off, wc)
+                    gam = [
+                        col_fwd[c][0] * ysp
+                        + col_fwd[c][1] * usp
+                        + col_fwd[c][2] * vsp
+                        + col_fwd[c][3]
+                        for c in range(3)
+                    ]
+                    lin = [g2l(gam[c]) for c in range(3)]
+                    sl = pl.ds(
+                        pl.multiple_of(u * 768 + 128 * k, 128), COL_CHUNK
+                    )
+                    for c in range(3):
+                        val = (
+                            gamut[c][0] * lin[0]
+                            + gamut[c][1] * lin[1]
+                            + gamut[c][2] * lin[2]
                         )
-                    hi = val.astype(jnp.bfloat16)
-                    lo = (val - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-                    win2[0, c, :, sl] = hi
-                    win2[1, c, :, sl] = lo
+                        if gain is not None:
+                            val = val * gain
+                        if accumulate:
+                            val = val + (
+                                win2[0, c, :, sl].astype(jnp.float32)
+                                + win2[1, c, :, sl].astype(jnp.float32)
+                            )
+                        hi = val.astype(jnp.bfloat16)
+                        lo = (val - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                        win2[0, c, :, sl] = hi
+                        win2[1, c, :, sl] = lo
+                return 0
+
+            jax.lax.fori_loop(0, n_sext, sextet, 0)
             # no alpha plane: warp(1) is separable (rowsum x colsum)
 
         def one_layer(m):
@@ -768,19 +795,19 @@ def make_packed_composite_program(
                     + jnp.dot(fl, cw[0], preferred_element_type=jnp.float32)
                     + jnp.dot(fh, cw[1], preferred_element_type=jnp.float32)
                 ).reshape(3, rpb, COL_CHUNK)
-                # alpha = warp(1) = rowsum(rw) x colsum(cw), exact
+                # alpha = warp(1) = rowsum(rw) x colsum(cw), exact;
+                # only the TOP layer's alpha enters 'over', so the
+                # accumulator carries rgb alone
                 alpha = rsum * csum_s[:, :]
                 sl = pl.ds(o0, COL_CHUNK)
                 if m == 0:
                     for c in range(3):
                         comp[c, :, sl] = chunk[c]  # over black: identity
-                    comp[3, :, sl] = alpha
                 else:
                     prev = comp[:, :, sl]
                     k = 1.0 - alpha
                     for c in range(3):
                         comp[c, :, sl] = prev[c] * k + chunk[c]
-                    comp[3, :, sl] = alpha
 
             unroll = 2 if n_chunks % 2 == 0 else 1
 
@@ -848,7 +875,7 @@ def make_packed_composite_program(
             pltpu.VMEM((2, 3, win_r, width), jnp.bfloat16),
             pltpu.VMEM((2, 3, rpb, width), jnp.bfloat16),
             pltpu.VMEM((2, 3, rpb, win_c), jnp.bfloat16),
-            pltpu.VMEM((4, rpb, width), jnp.float32),
+            pltpu.VMEM((3, rpb, width), jnp.float32),
             pltpu.VMEM((2, 3, rpb, 768), jnp.bfloat16),
             pltpu.VMEM((2, win_c, COL_CHUNK), jnp.bfloat16),
             pltpu.VMEM((1, COL_CHUNK), jnp.float32),

@@ -62,9 +62,11 @@ __all__ = [
 
 COL_CHUNK = 128
 # bucket -> (max |m00|/|m11| covered, preferred output rows per block).
-# The 1.25 bucket matters: broadcast DVE scales hover around 1.0, and
-# without it a 0.9x fill pays the 2x bucket's window everywhere.
-BUCKET_BOUNDS = ((1.0, 40), (1.25, 40), (2.0, 40), (4.0, 16))
+# The near-1 buckets matter: broadcast DVE fills hover around 0.85-1.0x
+# scale (|m| 1.0-1.18), and window rows — hence the packed kernels'
+# DECODE overlap — are sized by the BUCKET bound, not the matrix: the
+# 1.12 rung cuts a 0.9x fill's decode window from 64 to 56 rows.
+BUCKET_BOUNDS = ((1.0, 40), (1.12, 40), (1.25, 40), (2.0, 40), (4.0, 16))
 VMEM_BUDGET = 14 * 1024 * 1024  # leave headroom under the 16M scoped limit
 
 

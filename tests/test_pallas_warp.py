@@ -43,7 +43,7 @@ def test_every_bucket_geometry():
     row/col windows against both borders."""
     rng = np.random.default_rng(5)
     src = jnp.asarray(rng.random((4, H, W), dtype=np.float32))
-    for scale, bucket in ((1.5, 0), (0.85, 1), (0.6, 2), (0.27, 3)):
+    for scale, bucket in ((1.5, 0), (0.92, 1), (0.85, 2), (0.6, 3), (0.27, 4)):
         for off in (-0.4, 0.0, 0.4):
             m = transform_matrix(W, H, scale_x=scale, scale_y=scale, offset_x=off, offset_y=-off)
             assert bucket_of(m) == bucket
@@ -57,12 +57,12 @@ def test_every_bucket_geometry():
 def test_bucket_bounds():
     assert bucket_of(transform_matrix(W, H, rotate=0.1)) == -1  # rotation
     assert bucket_of(transform_matrix(W, H, scale_y=0.1)) == -1  # |m11|=10
-    assert bucket_of(transform_matrix(W, H, scale_y=0.25)) == 3  # |m11|=4
+    assert bucket_of(transform_matrix(W, H, scale_y=0.25)) == 4  # |m11|=4
     assert bucket_of(transform_matrix(W, H, scale_y=0.9)) == 1  # the common fill
-    assert bucket_of(transform_matrix(W, H, scale_y=0.6)) == 2
+    assert bucket_of(transform_matrix(W, H, scale_y=0.6)) == 3
     assert bucket_of(transform_matrix(W, H)) == 0
     # joint bucket over transition matrices takes the widest span
-    assert bucket_of(transform_matrix(W, H), transform_matrix(W, H, scale_y=0.5)) == 2
+    assert bucket_of(transform_matrix(W, H), transform_matrix(W, H, scale_y=0.5)) == 3
 
 
 def test_channel_program_uses_warp_kernel():
