@@ -261,7 +261,7 @@ def interlaced_channels_step(n_channels: int, interpret: bool, w=1920, h=1080):
             srcs = [x if c == 0 and s == 0 else words[s] for s in range(8)]
             fresh = [unpack([sw]) for sw in srcs]
             rings = [
-                jnp.stack([aged[s][0], aged[s][1], fresh[s]]) for s in range(8)
+                (aged[s][0], aged[s][1], fresh[s]) for s in range(8)
             ]
             fields = []
             for parity in (0, 1):

@@ -31,7 +31,9 @@ def _layer_struct(ls: LayerSpec, spec: ChannelSpec) -> dict:
     w, h = ls.src_size if ls.src_size else (spec.width, spec.height)
     params: dict = {}
     if ls.deinterlace:
-        params["src_ring"] = jax.ShapeDtypeStruct((3, 4, h, w), jnp.float32)
+        params["src_ring"] = tuple(
+            jax.ShapeDtypeStruct((4, h, w), jnp.float32) for _ in range(3)
+        )
         params["parity"] = jax.ShapeDtypeStruct((), jnp.int32)
     elif ls.src_format == "rgba_f32":
         params["src"] = jax.ShapeDtypeStruct((4, h, w), jnp.float32)

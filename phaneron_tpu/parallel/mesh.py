@@ -60,8 +60,8 @@ def _param_pspec(key: str, ndim: int) -> P:
     stack ('ch'); plane-like params also shard scanlines on 'sp'."""
     if key in _REPLICATED_KEYS or ndim <= 1:
         return P(*(["ch"] + [None] * (ndim - 1))) if ndim >= 1 else P()
-    if key in ("src_ring", "src_b_ring"):  # (C, ring, rgba, H, W)
-        return P("ch", None, None, "sp", None)
+    if key in ("src_ring", "src_b_ring"):  # tuple leaves: (C, rgba, H, W)
+        return P("ch", None, "sp", None)
     # packed planes / rgba frames: (C, H, ...) — scanlines on 'sp'
     return P("ch", "sp", *([None] * (ndim - 2)))
 
@@ -98,8 +98,8 @@ def _sp_pspec(key: str, ndim: int) -> P:
     matrix must never land on a plane branch)."""
     if key in _REPLICATED_KEYS or ndim <= 1:
         return P()
-    if key in ("src_ring", "src_b_ring"):  # (ring, rgba, H, W)
-        return P(None, None, "sp", None)
+    if key in ("src_ring", "src_b_ring"):  # tuple leaves: (rgba, H, W)
+        return P(None, "sp", None)
     if ndim >= 3:  # rgba frames (4, H, W)
         return P(None, "sp", *([None] * (ndim - 3)))
     return P("sp", None)  # packed planes (H, ...)

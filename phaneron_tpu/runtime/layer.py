@@ -127,8 +127,11 @@ class SourceSlot:
             # (parity tff^1, yadif.ts:104), second keeps odd
             is_second = tick_in_frame % 2 == 1
             parity = (1 if self.last.tff else 0) ^ (0 if is_second else 1)
+            # the ring rides as a TUPLE of three frames: stacking would
+            # dispatch a (3,4,H,W) device concat (~400 MB/tick at HD)
+            # OUTSIDE the channel program, every tick
             return {
-                "src_ring": jnp.stack(list(self.ring)),
+                "src_ring": tuple(self.ring),
                 "parity": jnp.int32(parity),
             }
         return {"src": self.last.payload}
