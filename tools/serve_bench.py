@@ -184,7 +184,12 @@ async def main():
               f"(honest: one chip; see configs/quad_1080i_2chip.json)")
         return
     if "interlaced" in sys.argv[2:]:  # run only config 4 (iteration aid)
-        late3, displayed = await run_interlaced(seconds)
+        # config 3's BLOCKING writers can still be draining the ~30 MB/s
+    # tunnel; let them finish so their backpressure doesn't smear into
+    # the interlaced config's pacing window (observed: 131 late fields
+    # suite-run vs 0 standalone)
+    await asyncio.sleep(5)
+    late3, displayed = await run_interlaced(seconds)
         assert late3 <= max(1, int(0.02 * seconds * 50)), f"1080i late: {late3}"
         assert displayed >= int(0.8 * seconds * 25), f"1080i displayed: {displayed}"
         return
@@ -206,6 +211,11 @@ async def main():
         lambda i: FileConsumer({"path": str(tmp / f"sm_{i}.v210")}),
         seconds,
     )
+    # config 3's BLOCKING writers can still be draining the ~30 MB/s
+    # tunnel; let them finish so their backpressure doesn't smear into
+    # the interlaced config's pacing window (observed: 131 late fields
+    # suite-run vs 0 standalone)
+    await asyncio.sleep(5)
     late3, displayed = await run_interlaced(seconds)
     # tolerance: this image has ONE cpu core shared by 4 channel loops,
     # 8 consumer threads and the asyncio loop, and device syncs ride a
