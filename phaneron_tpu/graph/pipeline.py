@@ -33,6 +33,7 @@ from ..ops.coeffs import make_loader, make_saver
 from ..ops.composite import combine
 from ..ops.formats import get_format
 from ..ops.geometry import warp_affine, warp_axis_aligned
+from ..ops.pallas_yadif import make_yadif_ring_program, yadif_ring_fits
 from ..ops.yadif import yadif_frame
 
 __all__ = [
@@ -147,9 +148,16 @@ def _layer_source(
         return pre[(li, key)]
     if lspec.deinterlace and f"{key}_ring" in src:
         ring = src[f"{key}_ring"]
-        rgba = yadif_frame(
-            ring[0], ring[1], ring[2], src["parity"], spec.tff, skip_spatial=False
-        )
+        h, w = ring[0].shape[-2:]
+        if ENABLE_PALLAS_YADIF and spec.pallas_stages and yadif_ring_fits(h, w):
+            rgba = make_yadif_ring_program(h, w, spec.tff)(
+                ring[0], ring[1], ring[2], src["parity"]
+            )
+        else:
+            rgba = yadif_frame(
+                ring[0], ring[1], ring[2], src["parity"], spec.tff,
+                skip_spatial=False,
+            )
         return _fit_channel(rgba, spec)
     if fmt_name == "rgba_f32":
         # already-unpacked RGBA (route producer fork of a combiner output)
@@ -170,6 +178,11 @@ def _fit_channel(rgba: jnp.ndarray, spec: ChannelSpec) -> jnp.ndarray:
 # The Pallas DVE warp: scale-bucketed DMA windows keep its HBM reads at
 # ~1.1-1.5x the consumed rows, well ahead of the XLA gather warp.
 ENABLE_PALLAS_WARP = True
+
+# The Pallas yadif kernel (ops.pallas_yadif): field-planar lane-slice
+# windows compute only the predicted field — the interlaced default
+# load's hot op.  Falls back to ops.yadif off-geometry.
+ENABLE_PALLAS_YADIF = True
 
 # The all-layers-in-one composite kernel (ops.pallas_composite).  OFF by
 # default: with host-split word-plane sources the staged path (stage
@@ -773,10 +786,20 @@ def make_interlaced_pack_program(
 
 @lru_cache(maxsize=None)
 def make_yadif_program(tff: bool, skip_spatial: bool):
-    """Standalone deinterlace step over a 3-frame ring."""
+    """Standalone deinterlace step over a 3-frame ring; dispatches to
+    the Pallas kernel on TPU where the geometry fits."""
 
     @jax.jit
     def program(prev, cur, next_, parity):
+        h, w = prev.shape[-2:]
+        if (
+            ENABLE_PALLAS_YADIF
+            and jax.default_backend() == "tpu"
+            and yadif_ring_fits(h, w)
+        ):
+            return make_yadif_ring_program(h, w, tff, skip_spatial)(
+                prev, cur, next_, parity
+            )
         return yadif_frame(prev, cur, next_, parity, tff, skip_spatial)
 
     return program

@@ -1,0 +1,479 @@
+"""Pallas yadif deinterlace kernel — the interlaced default load's hot op.
+
+The XLA formulation (ops.yadif) costs ~0.8 ms per 1080p field on
+hardware: its 26 clamp-to-edge taps become pad+slice HLOs whose fusions
+re-read the three ring frames several times.  This kernel reads each
+ring plane once per row block and computes ONLY the predicted field.
+
+The enabling layout trick: `(4, H, W) -> (4, H/2, 2W)` is a FREE
+row-major reshape under which each field of a half-height plane row is
+a 128-aligned LANE slice (row 2j at columns [0, W), row 2j+1 at
+[W, 2W)).  Because parity is STATIC per compiled kernel (the public
+wrapper `lax.cond`s between the two variants, so the channel program's
+parity stays a traced scalar), every tap of the predictor addresses a
+statically-known field:
+
+- 5 window DMAs per row block pull exactly the planes the predictor
+  reads — par-field windows of prev/cur/next (A/B, F/G + keep + alpha,
+  K/L taps) and q-field windows of cur and of prev-or-next (C/D/E and
+  H/I/J, picked statically by `is_second`) — 17 half-height channel
+  planes total, double-buffered so block i+1 streams behind block i;
+- every row tap is a STATIC sublane slice of its window at the single
+  base 8 (Mosaic rejects dynamic sublane offsets it can't prove
+  mod 8): kb is a free multiple of 8 over a ceil grid — the hardware
+  drops the last block's out-of-bounds output rows — so every window
+  start k0-8 is 8-aligned by construction.  Where hh % 8 != 0 (1080i:
+  hh=540) the frame-bottom rows are unreachable by any aligned DMA
+  (starts AND lengths must be 8-aligned), so the caller passes 8-row
+  zero-padded aux tails built by a ~250 KB XLA slice+pad and the last
+  block tops its windows up from those;
+- no MXU anywhere: field extraction/interleave is free in this layout
+  (the output block writes pred and keep as two static lane slices),
+  and column taps are lane rolls (pltpu.roll) with a clamp-to-edge
+  select on the 3 frame-edge columns — no gather;
+- the only rows whose row taps cross the frame edge (the first and
+  last predicted row of the FRAME — window halos elsewhere are real
+  neighbour rows) are recomputed exactly with per-tap clamped indices
+  under `pl.when` on the first/last block; the one clamped tap that
+  lands on the q-plane this kernel never windows (prev's when
+  `is_second`, else next's) comes from a dedicated one-row patch DMA.
+
+Tap formulas and their order match ops.yadif/_yadif_full term for term
+(yadifCl.ts:34-103); tests assert bit-equality with the XLA path.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["make_yadif_ring_program", "yadif_ring_fits"]
+
+VMEM_BUDGET = 15 * 1024 * 1024  # total incl. the modelled Mosaic stack
+STACK_TILES = 24  # live (kb, W) f32 temporaries the predictor peaks at
+
+
+class _Cfg(NamedTuple):
+    kb: int  # predicted rows (half-height plane rows) per block
+    dbl: bool  # double-buffered windows (block i+1 streams behind i)
+
+
+def _config(height: int, width: int) -> _Cfg | None:
+    """Cheapest feasible (double-buffered?, rows-per-block) plan.
+
+    kb is any multiple of 8: the grid is ceil(hh/kb) blocks and the
+    hardware drops the last block's out-of-bounds output rows, so kb
+    need not divide hh — which is what keeps every window start
+    (k0 - 8) provably 8-aligned and the tap base a single static 8.
+    Window accounting: 17 channel planes of kb+16 rows (cur carries 4
+    channels in both fields, prev/next 3 in one field each + one of
+    them 3 more in q); the Mosaic stack is modelled as STACK_TILES live
+    (kb, W) tiles.  Cost = halo read amplification, with a 1.3x penalty
+    for single-buffered windows (DMA stalls unoverlapped)."""
+    hh = height // 2
+    best = None
+    best_cost = None
+    for dbl in (True, False):
+        for kb in range(8, hh // 2 + 1, 8):
+            win = 17 * (kb + 16) * width * 4
+            out = 2 * 4 * kb * 2 * width * 4  # pallas double-buffers out
+            stack = STACK_TILES * kb * width * 4
+            if (2 if dbl else 1) * win + out + stack > VMEM_BUDGET:
+                continue
+            cost = (kb + 16) / kb * (1.0 if dbl else 1.3)
+            if best_cost is None or cost < best_cost:
+                best, best_cost = _Cfg(kb, dbl), cost
+    return best
+
+
+def yadif_ring_fits(height: int, width: int) -> bool:
+    return (
+        width % 128 == 0
+        and height % 8 == 0
+        and height >= 32
+        and _config(height, width) is not None
+    )
+
+
+def _col_taps(x: jnp.ndarray, width: int):
+    """x[..., clamp(col+dx)] for dx in -3..3 — lane rolls with the
+    3-column edge fix (CLK_ADDRESS_CLAMP_TO_EDGE, yadifCl.ts:29-32)."""
+    cc = jax.lax.broadcasted_iota(jnp.int32, x.shape[-2:], 1)
+    taps = []
+    for dx in (-3, -2, -1, 0, 1, 2, 3):
+        if dx == 0:
+            taps.append(x)
+        elif dx < 0:
+            t = pltpu.roll(x, -dx, axis=x.ndim - 1)
+            taps.append(jnp.where(cc < -dx, x[..., :1], t))
+        else:
+            t = pltpu.roll(x, width - dx, axis=x.ndim - 1)  # == roll by -dx
+            taps.append(jnp.where(cc >= width - dx, x[..., width - 1 :], t))
+    return taps
+
+
+def _spatial(cu: jnp.ndarray, cd: jnp.ndarray, width: int) -> jnp.ndarray:
+    """Edge-directed spatial interpolation (yadifCl.ts:34-62) on the
+    line-above/line-below rows; identical term order to ops.yadif."""
+    a, b, c, d, e, f, g = _col_taps(cu, width)
+    h, i, j, k, l, m, n = _col_taps(cd, width)
+
+    pred = (d + k) / 2.0
+    score = jnp.abs(c - j) + jnp.abs(d - k) + jnp.abs(e - l)
+
+    s1 = jnp.abs(b - k) + jnp.abs(c - l) + jnp.abs(d - m)
+    cmp1 = s1 < score
+    pred = jnp.where(cmp1, (c + l) / 2.0, pred)
+    score = jnp.where(cmp1, s1, score)
+    s2 = jnp.abs(a - l) + jnp.abs(b - m) + jnp.abs(c - n)
+    s2 = jnp.where(cmp1, s2, s1)
+    cmp2 = cmp1 & (s2 < score)
+    pred = jnp.where(cmp2, (b + m) / 2.0, pred)
+    score = jnp.where(cmp2, s2, score)
+
+    s3 = jnp.abs(d - i) + jnp.abs(e - j) + jnp.abs(f - k)
+    cmp3 = s3 < score
+    pred = jnp.where(cmp3, (e + j) / 2.0, pred)
+    score = jnp.where(cmp3, s3, score)
+    s4 = jnp.abs(e - h) + jnp.abs(f - i) + jnp.abs(g - j)
+    s4 = jnp.where(cmp3, s4, s3)
+    cmp4 = cmp3 & (s4 < score)
+    pred = jnp.where(cmp4, (f + i) / 2.0, pred)
+    return pred
+
+
+def _fmax3(a, b, c):
+    return jnp.maximum(jnp.maximum(a, b), c)
+
+
+def _fmin3(a, b, c):
+    return jnp.minimum(jnp.minimum(a, b), c)
+
+
+def _temporal(A, B, C, D, E, F, G, H, I, J, K, L, spatial, skip_spatial):
+    """Temporal clamp (yadifCl.ts:72-103); identical term order."""
+    p0 = (C + H) / 2.0
+    p2 = (D + I) / 2.0
+    p4 = (E + J) / 2.0
+
+    tdiff0 = jnp.abs(D - I)
+    tdiff1 = (jnp.abs(A - F) + jnp.abs(B - G)) / 2.0
+    tdiff2 = (jnp.abs(K - F) + jnp.abs(G - L)) / 2.0
+    diff = _fmax3(tdiff0, tdiff1, tdiff2)
+
+    if not skip_spatial:
+        p2mp3 = p2 - G
+        p2mp1 = p2 - F
+        p0mp1 = p0 - F
+        p4mp3 = p4 - G
+        maxi = _fmax3(p2mp3, p2mp1, jnp.minimum(p0mp1, p4mp3))
+        mini = _fmin3(p2mp3, p2mp1, jnp.maximum(p0mp1, p4mp3))
+        diff = _fmax3(diff, mini, -maxi)
+
+    pred = jnp.where(spatial > p2 + diff, p2 + diff, spatial)
+    pred = jnp.where(pred < p2 - diff, p2 - diff, pred)
+    return pred
+
+
+@lru_cache(maxsize=None)
+def _make_kernel(
+    height: int,
+    width: int,
+    par: int,
+    tff: bool,
+    skip_spatial: bool,
+    interpret: bool,
+):
+    cfg = _config(height, width)
+    assert cfg is not None, "caller gates on yadif_ring_fits"
+    kb, dbl = cfg
+    hh = height // 2
+    n_blocks = -(-hh // kb)  # ceil: the hw drops the last block's OOB rows
+    assert n_blocks >= 2
+    q = 1 - par  # the predicted field
+    is_second = (par ^ int(tff)) == 0  # static (yadifCl.ts:144)
+    tC = 1 if is_second else 0
+    tH = 2 if is_second else 1
+    xq_t = 2 if is_second else 0  # the non-cur tensor with a q window
+    miss_t = 0 if is_second else 2  # the tensor with NO q window
+    alloc = kb + 16
+    slots = 2 if dbl else 1
+    W = width
+
+    # ---- window plan.  Block i needs plane rows [k0-1, k0+kb]
+    # (k0 = i*kb).  Because kb % 8 == 0, every interior window can DMA
+    # from the 8-aligned start k0-8 into buffer row 0, landing plane
+    # row k0 at the SINGLE static base 8; the first block instead lands
+    # plane row 0 at destination row 8, and the last block shortens its
+    # copy to the frame bottom.  Three static (start, dst, len)
+    # variants — no dynamic-alignment games, no body duplication.
+    len_first = min(kb + 8, hh)
+    k0_last = (n_blocks - 1) * kb
+    w0_last = k0_last - 8
+    # Mosaic also requires 8-aligned DMA *lengths*: when hh % 8 != 0
+    # (1080i: hh=540) no aligned start+length reaches the frame bottom
+    # exactly, so the caller passes 8-row AUX TAIL inputs (the last rem
+    # rows, zero-padded — an XLA slice+pad of ~250 KB, built outside
+    # the kernel) and the last block tops its windows up from those.
+    rem = hh % 8
+    assert rem in (0, 4)
+    len_bulk = hh - rem - w0_last
+    assert 0 < len_bulk <= alloc and len_bulk % 8 == 0 and w0_last % 8 == 0
+    BASE = 8
+
+    # one-row patch of the un-windowed q plane, for the frame-edge fix:
+    # q==0 needs miss_t's plane row 0 (top), q==1 its row hh-1 (bottom,
+    # which lives in the aux tail when hh is misaligned)
+    patch_from_aux = q == 1 and rem > 0
+    w0p = 0 if q == 0 else hh - 8 - rem
+    patch_idx = 0 if q == 0 else (rem - 1 if patch_from_aux else 7)
+    patch_block = 0 if q == 0 else n_blocks - 1
+
+    def kernel(prev_ref, cur_ref, next_ref, aux_p, aux_c, aux_n, out_ref,
+               wp_par, wc_par, wn_par, wc_q, wx_q, patch, sem, psem):
+        i = pl.program_id(0)
+        tensors = (prev_ref, cur_ref, next_ref)
+        auxes = (aux_p, aux_c, aux_n)
+        # (buffer, tensor, nch, field): the 5 windows of a block
+        plan = (
+            (wp_par, 0, 3, par),
+            (wc_par, 1, 4, par),
+            (wn_par, 2, 3, par),
+            (wc_q, 1, 4, q),
+            (wx_q, xq_t, 3, q),
+        )
+
+        def copies(kind, block):
+            if kind == "first":
+                srow, drow = pl.ds(0, len_first), pl.ds(8, len_first)
+            elif kind == "mid":
+                w0 = pl.multiple_of(block * kb - 8, 8)
+                srow, drow = pl.ds(w0, kb + 16), pl.ds(0, kb + 16)
+            else:
+                srow, drow = pl.ds(w0_last, len_bulk), pl.ds(0, len_bulk)
+            cps = [
+                pltpu.make_async_copy(
+                    tensors[t].at[0:nch, srow, f * W : (f + 1) * W],
+                    buf.at[block % slots, :, drow, :],
+                    sem,
+                )
+                for buf, t, nch, f in plan
+            ]
+            if kind == "last" and rem:
+                cps += [
+                    pltpu.make_async_copy(
+                        auxes[t].at[0:nch, pl.ds(0, 8), f * W : (f + 1) * W],
+                        buf.at[
+                            block % slots, :, pl.ds(len_bulk, 8), :
+                        ],
+                        sem,
+                    )
+                    for buf, t, nch, f in plan
+                ]
+            return cps
+
+        def drive(block, op):
+            # dispatch the block's static DMA variant; `block` may be a
+            # traced index (the double-buffered prefetch of i+1)
+            @pl.when(block == 0)
+            def _f():
+                for c in copies("first", block):
+                    op(c)
+
+            if n_blocks > 2:
+
+                @pl.when((block > 0) & (block < n_blocks - 1))
+                def _m():
+                    for c in copies("mid", block):
+                        op(c)
+
+            @pl.when(block == n_blocks - 1)
+            def _l():
+                for c in copies("last", block):
+                    op(c)
+
+        if dbl:
+
+            @pl.when(i == 0)
+            def _first():
+                drive(0, lambda c: c.start())
+
+            drive(i, lambda c: c.wait())
+
+            @pl.when(i + 1 < n_blocks)
+            def _next():
+                drive(i + 1, lambda c: c.start())
+
+        else:
+            drive(i, lambda c: c.start())
+            drive(i, lambda c: c.wait())
+
+        @pl.when(i == patch_block)
+        def _patch():
+            src = (
+                auxes[miss_t].at[0:3, pl.ds(0, 8), q * W : (q + 1) * W]
+                if patch_from_aux
+                else tensors[miss_t].at[
+                    0:3, pl.ds(w0p, 8), q * W : (q + 1) * W
+                ]
+            )
+            cp = pltpu.make_async_copy(src, patch.at[:, pl.ds(0, 8), :], psem)
+            cp.start()
+            cp.wait()
+
+        slot = i % slots
+        q_wins = {1: wc_q, xq_t: wx_q}
+
+        def body(base):
+            # window row of plane row j (relative to the block's first
+            # predicted row): par windows and q windows share the plan
+            for ch in range(4):
+                if ch == 3:
+                    # alpha passes through from cur on every row
+                    # (yadifCl.ts:163): both fields, no predictor
+                    out_ref[3, :, q * W : (q + 1) * W] = wc_q[
+                        slot, 3, base : base + kb, :
+                    ]
+                    out_ref[3, :, par * W : (par + 1) * W] = wc_par[
+                        slot, 3, base : base + kb, :
+                    ]
+                    continue
+
+                def par_tap(buf, d, ch=ch):
+                    # global row (2k+q)+d for d=+-1 -> par plane row
+                    # k+q-1 (up) / k+q (down)
+                    r = base + q - 1 + (d + 1) // 2
+                    return buf[slot, ch, r : r + kb, :]
+
+                def q_tap(t, d, ch=ch):
+                    # global row (2k+q)+2d -> q plane row k+d
+                    r = base + d
+                    return q_wins[t][slot, ch, r : r + kb, :]
+
+                cu, cd = par_tap(wc_par, -1), par_tap(wc_par, 1)
+                spatial = _spatial(cu, cd, W)
+                pred = _temporal(
+                    par_tap(wp_par, -1), par_tap(wp_par, 1),
+                    q_tap(tC, -1), q_tap(tC, 0), q_tap(tC, 1),
+                    cu, cd,
+                    q_tap(tH, -1), q_tap(tH, 0), q_tap(tH, 1),
+                    par_tap(wn_par, -1), par_tap(wn_par, 1),
+                    spatial, skip_spatial,
+                )
+                out_ref[ch, :, q * W : (q + 1) * W] = pred
+                out_ref[ch, :, par * W : (par + 1) * W] = wc_par[
+                    slot, ch, base : base + kb, :
+                ]
+
+        body(BASE)
+
+        # ---- frame-edge rows: the ONE predicted row per frame edge
+        # whose row taps clamp (y=q at the top, y=H-2+q at the bottom).
+        # Window halos elsewhere hold real neighbour rows, so every
+        # other row is already exact.  k0 of both edge blocks is
+        # static, so these taps are fully static.
+        def fix_row(k_local, k0, eb):
+            y = 2 * (k0 + k_local) + q
+
+            def ctap(t, ch, d):
+                g = min(max(y + d, 0), height - 1)
+                f, j = g % 2, g // 2
+                r = eb + (j - k0)
+                if f == par:
+                    buf = (wp_par, wc_par, wn_par)[t]
+                    return buf[slot, ch, r : r + 1, :]
+                if t == 1 or t == xq_t:
+                    return q_wins[t][slot, ch, r : r + 1, :]
+                assert t == miss_t and j == (hh - 1 if q else 0)
+                return patch[ch, patch_idx : patch_idx + 1, :]
+
+            for ch in range(3):
+                ccu, ccd = ctap(1, ch, -1), ctap(1, ch, 1)
+                sp = _spatial(ccu, ccd, W)
+                pr = _temporal(
+                    ctap(0, ch, -1), ctap(0, ch, 1),
+                    ctap(tC, ch, -2), ctap(tC, ch, 0), ctap(tC, ch, 2),
+                    ccu, ccd,
+                    ctap(tH, ch, -2), ctap(tH, ch, 0), ctap(tH, ch, 2),
+                    ctap(2, ch, -1), ctap(2, ch, 1),
+                    sp, skip_spatial,
+                )
+                out_ref[ch, k_local : k_local + 1, q * W : (q + 1) * W] = pr
+
+        @pl.when(i == 0)
+        def _top():
+            fix_row(0, 0, BASE)
+
+        @pl.when(i == n_blocks - 1)
+        def _bottom():
+            fix_row(hh - 1 - k0_last, k0_last, BASE)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n_blocks,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY) for _ in range(6)],
+        out_specs=pl.BlockSpec(
+            (4, kb, 2 * W), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((slots, 3, alloc, W), jnp.float32),
+            pltpu.VMEM((slots, 4, alloc, W), jnp.float32),
+            pltpu.VMEM((slots, 3, alloc, W), jnp.float32),
+            pltpu.VMEM((slots, 4, alloc, W), jnp.float32),
+            pltpu.VMEM((slots, 3, alloc, W), jnp.float32),
+            pltpu.VMEM((3, 8, W), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((4, hh, 2 * W), jnp.float32),
+        interpret=interpret,
+    )
+
+    def run(prev, cur, next_):
+        planes = [x.reshape(4, hh, 2 * W) for x in (prev, cur, next_)]
+        if rem:
+            auxes = [
+                jnp.pad(x[:, hh - rem :, :], ((0, 0), (0, 8 - rem), (0, 0)))
+                for x in planes
+            ]
+        else:
+            auxes = [x[:, hh - 8 :, :] for x in planes]
+        out = call(*planes, *auxes)
+        return out.reshape(4, height, W)
+
+    return run
+
+
+@lru_cache(maxsize=None)
+def make_yadif_ring_program(
+    height: int,
+    width: int,
+    tff: bool,
+    skip_spatial: bool = False,
+    interpret: bool | None = None,
+):
+    """fn(prev, cur, next_ (4,H,W) f32, parity traced int32) -> (4,H,W).
+
+    Drop-in for ops.yadif.yadif_frame on geometries where
+    yadif_ring_fits; parity stays traced via a two-way lax.cond over
+    the static-parity kernels."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    k0 = _make_kernel(height, width, 0, tff, skip_spatial, interpret)
+    k1 = _make_kernel(height, width, 1, tff, skip_spatial, interpret)
+
+    def program(prev, cur, next_, parity):
+        parity = jnp.asarray(parity, dtype=jnp.int32)
+        return jax.lax.cond(parity == 0, k0, k1, prev, cur, next_)
+
+    return program

@@ -1,0 +1,59 @@
+"""Pallas yadif kernel vs the XLA formulation (interpret mode on CPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from phaneron_tpu.ops.pallas_yadif import make_yadif_ring_program, yadif_ring_fits
+from phaneron_tpu.ops.yadif import yadif_frame
+
+
+@pytest.mark.parametrize("h,w", [(96, 128), (120, 256), (48, 128)])
+@pytest.mark.parametrize("tff", [True, False])
+def test_matches_xla_path(h, w, tff):
+    assert yadif_ring_fits(h, w)
+    prog = make_yadif_ring_program(h, w, tff, interpret=True)
+    rng = np.random.default_rng(42)
+    prev, cur, nxt = (
+        jnp.asarray(rng.random((4, h, w), dtype=np.float32)) for _ in range(3)
+    )
+    for parity in (0, 1):
+        got = np.asarray(prog(prev, cur, nxt, jnp.int32(parity)))
+        exp = np.asarray(yadif_frame(prev, cur, nxt, parity, tff))
+        assert np.allclose(got, exp, atol=1e-6), (
+            parity,
+            np.abs(got - exp).max(),
+            np.argwhere(np.abs(got - exp) > 1e-6)[:5],
+        )
+
+
+def test_skip_spatial_matches():
+    h, w = 96, 128
+    prog = make_yadif_ring_program(h, w, True, skip_spatial=True, interpret=True)
+    rng = np.random.default_rng(3)
+    prev, cur, nxt = (
+        jnp.asarray(rng.random((4, h, w), dtype=np.float32)) for _ in range(3)
+    )
+    for parity in (0, 1):
+        got = np.asarray(prog(prev, cur, nxt, jnp.int32(parity)))
+        exp = np.asarray(yadif_frame(prev, cur, nxt, parity, True, skip_spatial=True))
+        assert np.allclose(got, exp, atol=1e-6), parity
+
+
+def test_keep_rows_bit_exact():
+    h, w = 96, 128
+    prog = make_yadif_ring_program(h, w, True, interpret=True)
+    rng = np.random.default_rng(5)
+    prev, cur, nxt = (
+        jnp.asarray(rng.random((4, h, w), dtype=np.float32)) for _ in range(3)
+    )
+    out = np.asarray(prog(prev, cur, nxt, jnp.int32(0)))
+    assert np.array_equal(out[:, 0::2, :], np.asarray(cur)[:, 0::2, :])
+    assert np.array_equal(out[3], np.asarray(cur)[3])
+
+
+def test_fits_gate():
+    assert yadif_ring_fits(1080, 1920)
+    assert yadif_ring_fits(2160, 3840)
+    assert not yadif_ring_fits(97, 128)  # odd height
+    assert not yadif_ring_fits(96, 130)  # lane-unaligned width

@@ -184,12 +184,7 @@ async def main():
               f"(honest: one chip; see configs/quad_1080i_2chip.json)")
         return
     if "interlaced" in sys.argv[2:]:  # run only config 4 (iteration aid)
-        # config 3's BLOCKING writers can still be draining the ~30 MB/s
-    # tunnel; let them finish so their backpressure doesn't smear into
-    # the interlaced config's pacing window (observed: 131 late fields
-    # suite-run vs 0 standalone)
-    await asyncio.sleep(5)
-    late3, displayed = await run_interlaced(seconds)
+        late3, displayed = await run_interlaced(seconds)
         assert late3 <= max(1, int(0.02 * seconds * 50)), f"1080i late: {late3}"
         assert displayed >= int(0.8 * seconds * 25), f"1080i displayed: {displayed}"
         return
