@@ -556,6 +556,7 @@ def make_packed_composite_program(
     col_spec: str = "709",
     out_col_spec: str = "709",
     interpret: bool | None = None,
+    _ablate: str = "",
 ):
     """fn(srcs, mats (L,3,3), mixes (L,)) -> packed v210 word planes
     (4, H, G).
@@ -564,7 +565,14 @@ def make_packed_composite_program(
     layers bottom..top, each layer contributing n_src sources (a
     dissolve pair shares its layer matrix — warp_same_mat).  Error
     class: the pair-warp bf16 hi/lo split (~2^-17, <=1 packed code vs
-    the staged path)."""
+    the staged path).
+
+    ``_ablate`` (measurement only, never set by the pipeline) drops
+    named stages so tools can attribute the kernel's time:
+    'nosplit' (skip phase split AND chunk decode), 'nodecode' (keep
+    the split, skip deinterleave/colour/gamma), 'nowarp' (skip the
+    row/column passes; composite straight from the decoded window),
+    'nopack' (zero the outputs instead of encode+pack)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     cfg = _composite_config(height, width, bucket, len(layer_cfg))
@@ -593,6 +601,11 @@ def make_packed_composite_program(
     col_bwd = _literals(cm.rgb2ycbcr_matrix(out_col_spec, 10, 64, 940, 896))
     from .pallas_kernels import _encode_rgb
     _, l2g = _gamma_fns(out_col_spec, out_col_spec)
+
+    ab_nosplit = "nosplit" in _ablate
+    ab_nodecode = ab_nosplit or "nodecode" in _ablate
+    ab_nowarp = "nowarp" in _ablate
+    ab_nopack = "nopack" in _ablate
 
     def kernel(*refs):
         (row_off_ref, py_ref, px_ref, col_off_ref, mix_ref) = refs[:5]
@@ -748,7 +761,8 @@ def make_packed_composite_program(
                 s = s0 + role
                 slot = s % 2 if dbuf else 0
                 window_dma(i, s, slot).wait()
-                decode_window(slot)
+                if not ab_nosplit:
+                    decode_window(slot)
                 # slot free: refill it two sources ahead (wrapping into
                 # the next block, whose slot parity matches because S
                 # is even), or one ahead when single-buffered
@@ -763,7 +777,9 @@ def make_packed_composite_program(
                             i + 1, t - S, (t - S) % 2 if dbuf else 0
                         ).start()
 
-                if n_src == 2:
+                if ab_nodecode:
+                    pass
+                elif n_src == 2:
                     mix = mix_ref[m, 0]
                     decode_chunks(
                         gain=mix if role == 0 else 1.0 - mix,
@@ -771,6 +787,18 @@ def make_packed_composite_program(
                     )
                 else:
                     decode_chunks()
+
+            if ab_nowarp:
+                # composite straight from the decoded window's top rpb
+                # rows: keeps decode live (ref stores), drops both
+                # one-hot passes and the cw/flat machinery
+                for c in range(3):
+                    rows = win2[0, c, 0:rpb, :].astype(jnp.float32)
+                    if m == 0:
+                        comp[c] = rows
+                    else:
+                        comp[c] = comp[c] * 0.5 + rows
+                return
 
             rwh, rwl, rsum = row_weights(m)
             for c in range(3):
@@ -850,7 +878,13 @@ def make_packed_composite_program(
             out_refs[2][:, sl] = (up[2] << 20) | (yp[3] << 10) | vp[1]
             out_refs[3][:, sl] = (yp[5] << 20) | (vp[2] << 10) | yp[4]
 
-        jax.lax.fori_loop(0, n_gchunks, lambda c, _: (pack_chunk(c), 0)[1], 0)
+        if ab_nopack:
+            for k in range(4):
+                out_refs[k][:, :] = jnp.zeros((rpb, g), jnp.uint32) + comp[
+                    0, :, 0:1
+                ].astype(jnp.uint32)
+        else:
+            jax.lax.fori_loop(0, n_gchunks, lambda c, _: (pack_chunk(c), 0)[1], 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # row_off (L, n_blocks)
