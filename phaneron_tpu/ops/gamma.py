@@ -19,6 +19,8 @@ cell a pixel lands in.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -31,6 +33,7 @@ __all__ = [
     "linear2gamma_analytic",
     "gamma2linear_at_index",
     "linear2gamma_at_index",
+    "gamma2linear_poly_fn",
 ]
 
 
@@ -68,6 +71,69 @@ def linear2gamma_at_index(col_spec: str, idx: jnp.ndarray) -> jnp.ndarray:
         p.alpha - 1.0
     )
     return jnp.where(fi < np.float32(p.beta), lo, hi)
+
+
+@lru_cache(maxsize=None)
+def _g2l_poly_coeffs(col_spec: str, degree: int = 9):
+    """Chebyshev fit of the hi (power-law) branch of gamma->linear on
+    its own domain [beta*delta, 1], returned as Horner coefficients in
+    the normalized variable t = (fi - mid)/half (conditioning: power
+    basis on [-1, 1], exact to convert at this degree).
+
+    The polynomial replaces ``jnp.power`` — the transcendental is
+    10-20 VPU slots per element where Horner is ``degree`` FMAs — in
+    kernels whose error class is already ~2^-17 (the packed warp
+    family).  Fit residual over every representable LUT index is
+    ~3e-7 (degree 9), two decades inside that class; the exactness
+    invariant paths (unpack kernels, 'lut'=='analytic') never use it.
+    """
+    p = COLOUR_SPECS[col_spec]
+    lo_edge = float(np.float32(p.beta * p.delta))
+    idx = np.arange(LUT_ENTRIES)
+    fi = (idx / (LUT_ENTRIES - 1)).astype(np.float32)
+    m = fi >= lo_edge
+    x = fi[m].astype(np.float64)
+    y = (
+        ((fi[m] + np.float32(p.alpha - 1.0)) * np.float32(1.0 / p.alpha))
+        ** np.float64(1.0 / p.gamma)
+    )
+    mid, half = (x[0] + 1.0) / 2.0, (1.0 - x[0]) / 2.0
+    cheb = np.polynomial.chebyshev.Chebyshev.fit(
+        (x - mid) / half, y, degree, domain=[-1.0, 1.0]
+    )
+    coeffs = np.polynomial.chebyshev.cheb2poly(cheb.coef)[::-1]
+    approx = np.polyval(coeffs, (x - mid) / half).astype(np.float32)
+    resid = np.abs(approx - y.astype(np.float32)).max()
+    assert resid < 1.5e-6, (col_spec, resid)
+    return (
+        float(mid),
+        float(half),
+        tuple(float(c) for c in coeffs),
+    )
+
+
+def gamma2linear_poly_fn(col_spec: str):
+    """g2l(x) with the power branch as a Horner polynomial — a scalar-
+    literal closure safe to trace inside Pallas kernels (no captured
+    arrays).  Same u16 quantization as the analytic path; error vs
+    analytic <= ~3e-7 linear units (asserted at fit time and by
+    tests/test_gamma.py exhaustively)."""
+    p = COLOUR_SPECS[col_spec]
+    mid, half, coeffs = _g2l_poly_coeffs(col_spec)
+    inv_half = np.float32(1.0 / half)
+    midf = np.float32(mid)
+    beta = np.float32(p.beta * p.delta)
+    inv_delta = np.float32(1.0 / p.delta)
+
+    def g2l(x):
+        fi = _index_to_f(u16_sat_rte(x * 65535.0))
+        t = (fi - midf) * inv_half
+        acc = jnp.full_like(fi, np.float32(coeffs[0]))
+        for c in coeffs[1:]:
+            acc = acc * t + np.float32(c)
+        return jnp.where(fi < beta, fi * inv_delta, acc)
+
+    return g2l
 
 
 def gamma2linear_analytic(col_spec: str, x: jnp.ndarray) -> jnp.ndarray:

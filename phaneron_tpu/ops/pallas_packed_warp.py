@@ -501,15 +501,25 @@ def _make_program(
 # (768 = 6*128, pallas_kernels._v210_pack_weights).
 
 
-def _composite_config(height: int, width: int, bucket: int, n_layers: int):
-    """Row-block plan for the all-layers kernel; None = fall back."""
+def _composite_config(
+    height: int, width: int, bucket: int, n_layers: int, cchunk: int = COL_CHUNK
+):
+    """Row-block plan for the all-layers kernel; None = fall back.
+
+    ``cchunk`` is the COLUMN-PASS output chunk width (a 128 multiple).
+    Wider chunks amortise the window slack: the column window must
+    cover bound*(cchunk-1) real taps plus a fixed 127-lane alignment
+    slack (col_off stays 128-aligned for Mosaic), so the one-hot FLOPs
+    per output pixel fall as win_c/cchunk -> 3.0 (128) / 2.0 (256) /
+    1.67 (384) at the 1.12 bucket.  Decode granularity is independent
+    (fixed 128, tied to the 768 = 6*128 sextet structure)."""
     g = v210fmt.pitch(width) // 6
-    if width % COL_CHUNK or width % 48 or g % 128 or height % 8:
+    if width % cchunk or width % 48 or g % 128 or height % 8:
         return None
     bound, preferred = BUCKET_BOUNDS[bucket]
     gp = _ceil_to(g, 128)
     g2p = _ceil_to(g + 152, 128)  # sextet decode window tail
-    win_c = min(_ceil_to(bound * (COL_CHUNK - 1) + 2 + (COL_CHUNK - 1), 128), width)
+    win_c = min(_ceil_to(bound * (cchunk - 1) + 2 + 127, 128), width)
 
     for rpb_pref in (preferred, 32, 24, 16, 8):
         rpb = _rows_per_block(height, rpb_pref)
@@ -529,7 +539,7 @@ def _composite_config(height: int, width: int, bucket: int, n_layers: int):
             + 768 * 768 * 2  # pack one-hot
             + (3 * 144 * 128 + 3 * 72 * 128) * 2  # unpack one-hots
             + 2 * 4 * rpb * gp * 4  # double-buffered out word planes
-            + 2 * win_c * COL_CHUNK * 2  # cw (rebuilt per chunk)
+            + 2 * win_c * cchunk * 2  # cw (rebuilt per chunk)
             + 24 * win_r * 256 * 2  # sextet decode windows (stack)
             + 1 * 1024 * 1024  # Mosaic stack slop (calibrated on HW:
             # UHD rpb 40 measures 15.9M actual vs ~14.9M accounted)
@@ -547,6 +557,16 @@ def packed_composite_fits(
     return _composite_config(height, width, bucket, n_layers) is not None
 
 
+def composite_cchunk(width: int) -> int:
+    """Column-pass chunk width for the composite: the widest supported
+    chunk the frame divides into (FLOPs per output pixel fall with
+    chunk width; see _composite_config)."""
+    for cchunk in (384, 256):
+        if width % cchunk == 0:
+            return cchunk
+    return COL_CHUNK
+
+
 @lru_cache(maxsize=None)
 def make_packed_composite_program(
     height: int,
@@ -556,10 +576,20 @@ def make_packed_composite_program(
     col_spec: str = "709",
     out_col_spec: str = "709",
     interpret: bool | None = None,
+    cchunk: int = COL_CHUNK,
+    poly_gamma: bool = False,
     _ablate: str = "",
 ):
     """fn(srcs, mats (L,3,3), mixes (L,)) -> packed v210 word planes
     (4, H, G).
+
+    ``poly_gamma`` evaluates the decode-side gamma->linear transfer as
+    a degree-9 Horner polynomial (ops.gamma.gamma2linear_poly_fn)
+    instead of jnp.power — ~3e-7 vs the analytic formula, two decades
+    inside this kernel's ~2^-17 class.  The encode-side l2g stays
+    analytic (one evaluation per OUTPUT pixel; the decode runs once
+    per source pixel per window row — 8 sources x the window overlap
+    at the serving shape).
 
     ``srcs``: flat host-split (4, H, G) uint32 word-plane arrays,
     layers bottom..top, each layer contributing n_src sources (a
@@ -570,16 +600,19 @@ def make_packed_composite_program(
     ``_ablate`` (measurement only, never set by the pipeline) drops
     named stages so tools can attribute the kernel's time:
     'nosplit' (skip phase split AND chunk decode), 'nodecode' (keep
-    the split, skip deinterleave/colour/gamma), 'nowarp' (skip the
-    row/column passes; composite straight from the decoded window),
-    'nopack' (zero the outputs instead of encode+pack)."""
+    the split, skip deinterleave/colour/gamma), 'nogamma' (decode with
+    identity transfer — isolates the analytic-gamma pow cost),
+    'nowarp' (skip the row/column passes; composite straight from the
+    decoded window), 'nopack' (zero the outputs instead of
+    encode+pack)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    cfg = _composite_config(height, width, bucket, len(layer_cfg))
+    cfg = _composite_config(height, width, bucket, len(layer_cfg), cchunk)
     assert cfg is not None, "caller gates on packed_composite_fits"
     rpb, win_r, win_c, _ = cfg
     n_blocks = height // rpb
     n_chunks = width // COL_CHUNK
+    n_cchunks = width // cchunk
     g = v210fmt.pitch(width) // 6
     # zero tail sized for the SEXTET decode windows: a (win_r, 256)
     # window at the last 128-aligned group base reaches g + 152
@@ -597,13 +630,19 @@ def make_packed_composite_program(
 
     col_fwd = _literals(cm.ycbcr2rgb_matrix(col_spec, 10, 64, 940, 896))
     gamut = _literals(cm.rgb2rgb_matrix(col_spec, out_col_spec))
-    g2l, _ = _gamma_fns(col_spec, out_col_spec)
+    if poly_gamma:
+        from .gamma import gamma2linear_poly_fn
+
+        g2l = gamma2linear_poly_fn(col_spec)
+    else:
+        g2l, _ = _gamma_fns(col_spec, out_col_spec)
     col_bwd = _literals(cm.rgb2ycbcr_matrix(out_col_spec, 10, 64, 940, 896))
     from .pallas_kernels import _encode_rgb
     _, l2g = _gamma_fns(out_col_spec, out_col_spec)
 
     ab_nosplit = "nosplit" in _ablate
     ab_nodecode = ab_nosplit or "nodecode" in _ablate
+    ab_nogamma = "nogamma" in _ablate
     ab_nowarp = "nowarp" in _ablate
     ab_nopack = "nopack" in _ablate
 
@@ -646,13 +685,13 @@ def make_packed_composite_program(
             vals[:, :, :, g:] = jnp.zeros((2, 12, win_r, g2 - g), jnp.bfloat16)
 
         def build_cw(j, m):
-            c0 = pl.multiple_of(col_off_ref[m, j], COL_CHUNK)
-            o0 = pl.multiple_of(j * COL_CHUNK, COL_CHUNK)
-            pxc = px_ref[pl.ds(m, 1), pl.ds(o0, COL_CHUNK)]
+            c0 = pl.multiple_of(col_off_ref[m, j], 128)
+            o0 = pl.multiple_of(j * cchunk, 128)
+            pxc = px_ref[pl.ds(m, 1), pl.ds(o0, cchunk)]
             x0 = jnp.floor(pxc)
             fx = (pxc - x0).astype(jnp.float32)
             x0i = x0.astype(jnp.int32)
-            cc = jax.lax.broadcasted_iota(jnp.int32, (win_c, COL_CHUNK), 0) + c0
+            cc = jax.lax.broadcasted_iota(jnp.int32, (win_c, cchunk), 0) + c0
             v0 = jnp.where((x0i >= 0) & (x0i < width), 1.0 - fx, 0.0)
             v1 = jnp.where((x0i + 1 >= 0) & (x0i + 1 < width), fx, 0.0)
             w = jnp.where(cc == x0i, v0, 0.0) + jnp.where(cc == x0i + 1, v1, 0.0)
@@ -726,10 +765,8 @@ def make_packed_composite_program(
                         + col_fwd[c][3]
                         for c in range(3)
                     ]
-                    lin = [g2l(gam[c]) for c in range(3)]
-                    sl = pl.ds(
-                        pl.multiple_of(u * 768 + 128 * k, 128), COL_CHUNK
-                    )
+                    lin = gam if ab_nogamma else [g2l(gam[c]) for c in range(3)]
+                    sl = pl.ds(pl.multiple_of(u * 768 + 128 * k, 128), 128)
                     for c in range(3):
                         val = (
                             gamut[c][0] * lin[0]
@@ -811,9 +848,9 @@ def make_packed_composite_program(
                 rows2[0, c] = rh
                 rows2[1, c] = rl
             def one_chunk(j):
-                o0 = pl.multiple_of(j * COL_CHUNK, COL_CHUNK)
+                o0 = pl.multiple_of(j * cchunk, 128)
                 build_cw(j, m)
-                c0 = pl.multiple_of(col_off_ref[m, j], COL_CHUNK)
+                c0 = pl.multiple_of(col_off_ref[m, j], 128)
                 flat2[0, :, :, :] = rows2[0, :, :, pl.ds(c0, win_c)]
                 flat2[1, :, :, :] = rows2[1, :, :, pl.ds(c0, win_c)]
                 fh = flat2[0].reshape(3 * rpb, win_c)
@@ -822,12 +859,12 @@ def make_packed_composite_program(
                     jnp.dot(fh, cw[0], preferred_element_type=jnp.float32)
                     + jnp.dot(fl, cw[0], preferred_element_type=jnp.float32)
                     + jnp.dot(fh, cw[1], preferred_element_type=jnp.float32)
-                ).reshape(3, rpb, COL_CHUNK)
+                ).reshape(3, rpb, cchunk)
                 # alpha = warp(1) = rowsum(rw) x colsum(cw), exact;
                 # only the TOP layer's alpha enters 'over', so the
                 # accumulator carries rgb alone
                 alpha = rsum * csum_s[:, :]
-                sl = pl.ds(o0, COL_CHUNK)
+                sl = pl.ds(o0, cchunk)
                 if m == 0:
                     for c in range(3):
                         comp[c, :, sl] = chunk[c]  # over black: identity
@@ -837,14 +874,14 @@ def make_packed_composite_program(
                     for c in range(3):
                         comp[c, :, sl] = prev[c] * k + chunk[c]
 
-            unroll = 2 if n_chunks % 2 == 0 else 1
+            unroll = 2 if n_cchunks % 2 == 0 else 1
 
             def chunk_body(j2, _):
                 for u in range(unroll):
                     one_chunk(j2 * unroll + u)
                 return 0
 
-            jax.lax.fori_loop(0, n_chunks // unroll, chunk_body, 0)
+            jax.lax.fori_loop(0, n_cchunks // unroll, chunk_body, 0)
 
         for m in range(L):
             one_layer(m)
@@ -911,8 +948,8 @@ def make_packed_composite_program(
             pltpu.VMEM((2, 3, rpb, win_c), jnp.bfloat16),
             pltpu.VMEM((3, rpb, width), jnp.float32),
             pltpu.VMEM((2, 3, rpb, 768), jnp.bfloat16),
-            pltpu.VMEM((2, win_c, COL_CHUNK), jnp.bfloat16),
-            pltpu.VMEM((1, COL_CHUNK), jnp.float32),
+            pltpu.VMEM((2, win_c, cchunk), jnp.bfloat16),
+            pltpu.VMEM((1, cchunk), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -942,11 +979,14 @@ def make_packed_composite_program(
                     max(height - win_r, 0),
                 )
             )
-            chunks = jnp.arange(n_chunks) * COL_CHUNK
-            col_lo = jnp.minimum(px[chunks], px[chunks + COL_CHUNK - 1])
+            chunks = jnp.arange(n_cchunks) * cchunk
+            col_lo = jnp.minimum(px[chunks], px[chunks + cchunk - 1])
             col_offs.append(
                 jnp.clip(
-                    jnp.floor(col_lo).astype(jnp.int32) // COL_CHUNK * COL_CHUNK,
+                    # 128-aligned (the Mosaic lane rule), NOT
+                    # cchunk-aligned: finer alignment keeps the window
+                    # slack at 127 lanes regardless of the chunk width
+                    jnp.floor(col_lo).astype(jnp.int32) // 128 * 128,
                     0,
                     max(width - win_c, 0),
                 )

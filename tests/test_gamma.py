@@ -11,7 +11,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from phaneron_tpu.ops import colour_maths as cm
-from phaneron_tpu.ops.gamma import gamma2linear_at_index, linear2gamma_at_index
+from phaneron_tpu.ops.gamma import (
+    gamma2linear_at_index,
+    gamma2linear_poly_fn,
+    linear2gamma_at_index,
+)
 
 MAX_ABS_DIFF = 1e-5
 
@@ -32,3 +36,16 @@ def test_analytic_matches_lut_l2g():
         analytic = np.asarray(linear2gamma_at_index(spec, idx))
         diff = np.abs(analytic - lut)
         assert float(diff.max()) < MAX_ABS_DIFF, (spec, float(diff.max()))
+
+
+def test_poly_matches_analytic_g2l():
+    """The Horner-polynomial transfer (packed-warp family's pow
+    replacement) vs the analytic formula — exhaustive over every LUT
+    index, for every spec the producer surface accepts.  Bound is two
+    decades inside the packed family's ~2^-17 parity class."""
+    x = jnp.arange(65536, dtype=jnp.float32) / 65535.0
+    for spec in ("709", "601-625", "601_525", "2020", "sRGB"):
+        poly = np.asarray(gamma2linear_poly_fn(spec)(x))
+        analytic = np.asarray(gamma2linear_at_index(spec, jnp.arange(65536)))
+        diff = np.abs(poly - analytic)
+        assert float(diff.max()) < 1.5e-6, (spec, float(diff.max()))

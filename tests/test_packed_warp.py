@@ -132,9 +132,15 @@ def test_channel_program_routes_packed():
         assert np.abs(qa.astype(int) - qb.astype(int)).max() <= 1
 
 
-def test_packed_composite_matches_staged_channel():
+@pytest.mark.parametrize(
+    "cchunk,poly_gamma",
+    [(128, False), (256, False), (384, False), (128, True)],
+)
+def test_packed_composite_matches_staged_channel(cchunk, poly_gamma):
     """The all-layers packed composite kernel (decode+premix+warp+over+
-    pack, one launch) vs the XLA channel program: <=1 packed code."""
+    pack, one launch) vs the XLA channel program: <=1 packed code.
+    Parametrized over the column-pass chunk width (the one-hot FLOP
+    amortisation knob) — every width must stay in the error class."""
     from phaneron_tpu.graph.pipeline import (
         ChannelSpec,
         LayerSpec,
@@ -157,7 +163,8 @@ def test_packed_composite_matches_staged_channel():
     layer_cfg = (2, 1)  # bottom: dissolve pair; top: plain DVE cut
     srcs = [_planes(w, h, roll=7 * k + 1) for k in range(3)]
     comp = make_packed_composite_program(
-        h, w, bucket, layer_cfg, interpret=True
+        h, w, bucket, layer_cfg, interpret=True, cchunk=cchunk,
+        poly_gamma=poly_gamma,
     )
     got_planes = comp(
         srcs, jnp.stack([jnp.asarray(m) for m in mats]),

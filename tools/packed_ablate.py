@@ -56,6 +56,7 @@ def main():
         "",
         "nopack",
         "nowarp+nopack",
+        "nogamma+nowarp+nopack",
         "nodecode+nowarp+nopack",
         "nosplit+nowarp+nopack",
     )
@@ -78,13 +79,32 @@ def main():
     log(f"  pack   = {f - results['nopack']:.3f} ms")
     log(f"  warp   = {results['nopack'] - results['nowarp+nopack']:.3f} ms")
     log(
-        f"  decode = {results['nowarp+nopack'] - results['nodecode+nowarp+nopack']:.3f}"
-        " ms (deint+colour+gamma chunks)"
+        f"  gamma  = {results['nowarp+nopack'] - results['nogamma+nowarp+nopack']:.3f}"
+        " ms (analytic transfer pow alone)"
+    )
+    log(
+        f"  decode = {results['nogamma+nowarp+nopack'] - results['nodecode+nowarp+nopack']:.3f}"
+        " ms (deint+colour chunks sans gamma)"
     )
     log(
         f"  split  = {results['nodecode+nowarp+nopack'] - results['nosplit+nowarp+nopack']:.3f} ms"
     )
     log(f"  dma+fx = {results['nosplit+nowarp+nopack']:.3f} ms residual")
+
+    # column-chunk width / poly-gamma A/B on the full kernel
+    for cchunk, poly in ((256, False), (384, False), (128, True), (384, True)):
+        prog = make_packed_composite_program(
+            h, w, bucket, layer_cfg, cchunk=cchunk, poly_gamma=poly
+        )
+
+        @jax.jit
+        def raw_c(x, mats, mixes, *flat):
+            out = prog([x] + list(flat), mats, mixes)
+            return x ^ (out.reshape(-1)[0] & jnp.uint32(1))
+
+        step_c = lambda x: raw_c(x, mats_j, mixes_j, *statics)
+        ms, _ = chain_ms(step_c, x0, n_small=8, n_large=32)
+        log(f"  full cchunk={cchunk} poly_gamma={poly}: {ms:8.3f} ms/frame")
 
 
 main()
