@@ -199,6 +199,16 @@ ENABLE_FUSED_COMPOSITE = False
 # unpack + RGBA pair-warp on hardware with distinct buffers.
 ENABLE_PACKED_WARP = True
 
+# Packed composite tuning (see ops.pallas_packed_warp
+# make_packed_composite_program): PACKED_CCHUNK None = auto-pick the
+# widest column chunk the frame divides into (composite_cchunk), or a
+# fixed 128/256/384.  PACKED_POLY_GAMMA routes the decode-side
+# transfer through the degree-9 Horner polynomial (~3e-7 vs analytic,
+# inside the family's ~2^-17 class).  Both default to the measured
+# winners on hardware (tools/packed_ablate.py A/B).
+PACKED_CCHUNK: int | None = 128
+PACKED_POLY_GAMMA = False
+
 
 def _packed_layer_ok(lspec: LayerSpec, spec: ChannelSpec, lparams: dict) -> bool:
     """True when this layer can run the packed-source warp: an
@@ -547,15 +557,21 @@ def _channel_frame(spec: ChannelSpec, params: dict):
         # decode -> premixed warps -> over-composite -> v210 pack.
         # HBM traffic is packed words in + packed words out.
         from ..ops.pallas_kernels import planes_to_words
-        from ..ops.pallas_packed_warp import make_packed_composite_program
+        from ..ops.pallas_packed_warp import (
+            composite_cchunk,
+            make_packed_composite_program,
+        )
 
         layer_cfg = tuple(
             2 if ls.transition == "dissolve" else 1 for ls in spec.layers
         )
+        bucket = max(ls.warp_bucket for ls in spec.layers)
         progc = make_packed_composite_program(
-            h, w,
-            max(ls.warp_bucket for ls in spec.layers),
+            h, w, bucket,
             layer_cfg, spec.col_spec, spec.out_col_spec,
+            cchunk=PACKED_CCHUNK
+            or composite_cchunk(h, w, bucket, len(spec.layers)),
+            poly_gamma=PACKED_POLY_GAMMA,
         )
         srcs, mats, mixes = [], [], []
         for ls, lp in zip(spec.layers, params["layers"]):
