@@ -172,10 +172,11 @@ def interlaced_channels_step(n_channels: int, interpret: bool, w=1920, h=1080):
       runtime/layer.py SourceSlot._pull_video -> make_unpack_program);
     - 2 channel-program ticks (parity 0/1), each running 4 layers x
       2-slot yadif ring deinterlace -> fused dissolve pair-warp ->
-      over-combine -> per-field v210 pack + the RGBA emit interlaced
-      consumers require (ChannelSpec deinterlace/emit_rgba);
-    - 1 field-pair interlaced v210 pack (the SDI/file consumer's
-      two-field output frame, make_interlaced_pack_program).
+      over-combine -> per-field v210 pack (packed-only: the SDI/file
+      consumers pair fields in the packed domain, so no RGBA emit);
+    - 1 field-pair row-parity word interleave (the consumer's two-field
+      output frame, make_interlaced_word_pack_program — bit-identical
+      to the RGBA re-encode it replaced).
 
     Every channel's rings, fresh-frame words and matrices are salted
     distinct; outputs xor-couple into the next step's carrier."""
@@ -183,7 +184,7 @@ def interlaced_channels_step(n_channels: int, interpret: bool, w=1920, h=1080):
         ChannelSpec,
         LayerSpec,
         make_channel_program,
-        make_interlaced_pack_program,
+        make_interlaced_word_pack_program,
         make_unpack_program,
     )
     from phaneron_tpu.ops.formats import get_format, host_split
@@ -193,7 +194,7 @@ def interlaced_channels_step(n_channels: int, interpret: bool, w=1920, h=1080):
 
     v210 = get_format("v210")
     unpack = make_unpack_program("v210", w, h, "709", "709")
-    pack_pair = make_interlaced_pack_program("v210", w, h, "709")
+    pack_pair = make_interlaced_word_pack_program("v210")
     base = np.asarray(host_split(v210, v210.fill_buf(w, h))[0])
 
     layer = LayerSpec(
@@ -203,7 +204,7 @@ def interlaced_channels_step(n_channels: int, interpret: bool, w=1920, h=1080):
     mref = transform_matrix(w, h, scale_x=0.9, scale_y=0.9, offset_x=0.02)
     layer = layer._replace(warp_bucket=bucket_of(mref) if not interpret else -1)
     spec = ChannelSpec(
-        w, h, "v210", layers=(layer,) * 4, emit_rgba=True,
+        w, h, "v210", layers=(layer,) * 4, emit_rgba=False,
         pallas_stages=not interpret,
     )
     prog = make_channel_program(spec)
@@ -275,11 +276,9 @@ def interlaced_channels_step(n_channels: int, interpret: bool, w=1920, h=1080):
                     }
                     for i in range(4)
                 ]
-                out = prog({"layers": layers})
-                fields.append(out["rgba"])
-                out_bit = out_bit ^ (
-                    out["packed"][0].reshape(-1)[0] & jnp.uint32(1)
-                )
+                packed = prog({"layers": layers})
+                fields.append(packed)
+                out_bit = out_bit ^ (packed[0].reshape(-1)[0] & jnp.uint32(1))
             pair = pack_pair(fields[0], fields[1])
             out_bit = out_bit ^ (pair[0].reshape(-1)[0] & jnp.uint32(1))
         return x ^ out_bit

@@ -204,10 +204,13 @@ ENABLE_PACKED_WARP = True
 # widest column chunk the frame divides into (composite_cchunk), or a
 # fixed 128/256/384.  PACKED_POLY_GAMMA routes the decode-side
 # transfer through the degree-9 Horner polynomial (~3e-7 vs analytic,
-# inside the family's ~2^-17 class).  Both default to the measured
-# winners on hardware (tools/packed_ablate.py A/B).
+# inside the family's ~2^-17 class).  PACKED_SEXTET_SPLIT performs the
+# phase split per sextet window, freeing the full-window phase buffer
+# for a larger row block.  All default to the measured winners on
+# hardware (tools/packed_ablate.py A/B).
 PACKED_CCHUNK: int | None = 128
 PACKED_POLY_GAMMA = False
+PACKED_SEXTET_SPLIT = False
 
 
 def _packed_layer_ok(lspec: LayerSpec, spec: ChannelSpec, lparams: dict) -> bool:
@@ -572,6 +575,7 @@ def _channel_frame(spec: ChannelSpec, params: dict):
             cchunk=PACKED_CCHUNK
             or composite_cchunk(h, w, bucket, len(spec.layers)),
             poly_gamma=PACKED_POLY_GAMMA,
+            sextet_split=PACKED_SEXTET_SPLIT,
         )
         srcs, mats, mixes = [], [], []
         for ls, lp in zip(spec.layers, params["layers"]):
@@ -810,6 +814,42 @@ def make_interlaced_pack_program(
     def program(top_rgba, bottom_rgba):
         merged = fio.interleave_rgba_fields(top_rgba, bottom_rgba)
         return fio.from_rgba(fmt, merged, saver, width, height)
+
+    return program
+
+
+@lru_cache(maxsize=None)
+def make_interlaced_word_pack_program(fmt_name: str):
+    """Field-pair interlaced output in the PACKED domain, or None.
+
+    When the format has no vertical chroma subsampling (sub_y == 1:
+    v210, planar 4:2:2, RGB), every packed row depends only on its own
+    image row, so the interlaced wire frame is a row-parity SELECT over
+    the two field ticks' already-packed planes — bit-identical to
+    interleave_rgba_fields + from_rgba (each field tick's pack IS the
+    pack of that tick's RGBA, row by row) with no second encode and no
+    RGBA round trip.  Consumers that take this path also stop forcing
+    emit_rgba, deleting the channel's RGBA emit for SDI/file outputs.
+    The reference writes the two fields' lines into one buffer the same
+    way (macadamConsumer.ts:224-244); it just has no packed-domain
+    shortcut to express it with.  sub_y > 1 formats (4:2:0: merged-
+    frame chroma mixes rows of both fields) return None and keep the
+    RGBA path."""
+    fmt = get_format(fmt_name)
+    if fmt.INFO.sub_y != 1:
+        return None
+
+    @jax.jit
+    def program(top_planes, bottom_planes):
+        outs = []
+        for t, b in zip(top_planes, bottom_planes):
+            # row-parity where-assembly, not stack/concat (the
+            # fusion-breaking hazard documented in ops/composite).
+            # Every sub_y==1 format packs planes with image rows as
+            # the LEADING dim: v210/planar (H, words|W), rgb (H, W, 4)
+            rows = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
+            outs.append(jnp.where(rows % 2 == 0, t, b))
+        return outs
 
     return program
 

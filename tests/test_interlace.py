@@ -37,6 +37,29 @@ def test_interlaced_pack_merges_fields():
     assert np.array_equal(out[1::2], bot_packed[1::2])
 
 
+def test_word_pair_bit_equals_rgba_pair():
+    """Packed-domain field pairing (row-parity select over per-field
+    packs) is bit-identical to interleave+re-encode for every
+    sub_y == 1 format, and refuses 4:2:0 (whose merged-frame chroma
+    mixes rows of both fields)."""
+    from phaneron_tpu.graph.pipeline import make_interlaced_word_pack_program
+
+    rng = np.random.default_rng(3)
+    top = jnp.asarray(rng.random((4, 64, 96), dtype=np.float32))
+    bot = jnp.asarray(rng.random((4, 64, 96), dtype=np.float32))
+    for fmt_name in ("v210", "yuv422p10le", "rgba8"):
+        word_pair = make_interlaced_word_pack_program(fmt_name)
+        assert word_pair is not None, fmt_name
+        pack = make_pack_program(fmt_name, 96, 64, "709")
+        rgba_pair = make_interlaced_pack_program(fmt_name, 96, 64, "709")
+        got = word_pair(pack(top), pack(bot))
+        want = rgba_pair(top, bot)
+        for gp, wp in zip(got, want):
+            assert np.array_equal(np.asarray(gp), np.asarray(wp)), fmt_name
+    for fmt_name in ("yuv420p", "nv12"):
+        assert make_interlaced_word_pack_program(fmt_name) is None, fmt_name
+
+
 def test_interlaced_file_consumer_halves_frame_rate(tmp_path):
     async def main():
         ch = Channel(1, TINY_I, ProducerRegistry([create_test_pattern_producer]))

@@ -64,23 +64,27 @@ def test_interlaced_field_pair_packing_and_s32_audio():
     """Two field-rate frames become ONE displayed interlaced frame:
     even lines from the first (top) field, odd from the second, with
     both fields' audio interleaved as s32 (macadamConsumer.ts:224-244,
-    135-158)."""
+    135-158).  v210 rows pack independently, so the consumer pairs the
+    fields in the PACKED domain and never forces an RGBA emit."""
+    from phaneron_tpu.graph.pipeline import make_pack_program
+
     backend = FakeBackend()
     cons = SDIConsumer({"backend": backend, "device": 2})
     asyncio.run(cons.initialise(FMT_I))
     assert backend.opened == (2, "96i", False)
-    assert cons.needs_rgba
+    assert not cons.needs_rgba  # packed-domain pairing, no RGBA needed
 
     h, w = FMT_I.height, FMT_I.width
     black = jnp.zeros((4, h, w), dtype=jnp.float32)
     white = jnp.concatenate(
         [jnp.ones((3, h, w), dtype=jnp.float32), jnp.ones((1, h, w), jnp.float32)]
     )
+    pack = make_pack_program("v210", w, h, "709")
 
     async def drive():
-        await cons.deliver(_frame(0, FMT_I, rgba=black, level=0.25))
+        await cons.deliver(_frame(0, FMT_I, packed=pack(black), level=0.25))
         assert backend.frames == []  # first field pends
-        await cons.deliver(_frame(1, FMT_I, rgba=white, level=-0.25))
+        await cons.deliver(_frame(1, FMT_I, packed=pack(white), level=-0.25))
 
     asyncio.run(drive())
     assert len(backend.frames) == 1
