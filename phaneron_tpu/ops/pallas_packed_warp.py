@@ -502,7 +502,12 @@ def _make_program(
 
 
 def _composite_config(
-    height: int, width: int, bucket: int, n_layers: int, cchunk: int = COL_CHUNK
+    height: int,
+    width: int,
+    bucket: int,
+    n_layers: int,
+    cchunk: int = COL_CHUNK,
+    sextet_split: bool = False,
 ):
     """Row-block plan for the all-layers kernel; None = fall back.
 
@@ -521,14 +526,24 @@ def _composite_config(
     g2p = _ceil_to(g + 152, 128)  # sextet decode window tail
     win_c = min(_ceil_to(bound * (cchunk - 1) + 2 + 127, 128), width)
 
-    for rpb_pref in (preferred, 32, 24, 16, 8):
+    # sextet_split deletes the full-window phase-plane buffer (the split
+    # happens per 256-lane sextet window on the VPU instead), freeing
+    # ~2 MB — enough for the next rpb rung (less decode overlap).  Its
+    # ladder therefore starts at 48.
+    ladder = (48, preferred, 32, 24, 16, 8) if sextet_split else (
+        preferred, 32, 24, 16, 8
+    )
+    for rpb_pref in ladder:
         rpb = _rows_per_block(height, rpb_pref)
         win_r = min(_ceil_to(bound * (rpb - 1) + 10, 8), _ceil_to(height, 8))
         # the alpha plane never rides in the window: warp(1) is the
         # separable rowsum(rw) x colsum(cw), so every buffer is 3-channel
         total = (
-            2 * 4 * win_r * gp * 4  # DOUBLE-BUFFERED packed windows
-            + 2 * 12 * win_r * g2p * 2  # phase planes hi/lo
+            # DOUBLE-BUFFERED packed windows (+128-lane zero tail for
+            # the in-sextet split's window reach)
+            2 * 4 * win_r * (gp + (128 if sextet_split else 0)) * 4
+            # phase planes hi/lo (none persisted when split per sextet)
+            + (0 if sextet_split else 2 * 12 * win_r * g2p * 2)
             + 2 * 3 * win_r * width * 2  # decoded window hi/lo (rgb)
             + 2 * 3 * rpb * width * 2  # rows2 (rgb)
             + 2 * 3 * rpb * win_c * 2  # flat2 (rgb)
@@ -541,6 +556,8 @@ def _composite_config(
             + 2 * 4 * rpb * gp * 4  # double-buffered out word planes
             + 2 * win_c * cchunk * 2  # cw (rebuilt per chunk)
             + 24 * win_r * 256 * 2  # sextet decode windows (stack)
+            # in-sextet split temporaries (12 int32 phase planes live)
+            + (12 * win_r * 256 * 4 if sextet_split else 0)
             + 1 * 1024 * 1024  # Mosaic stack slop (calibrated on HW:
             # UHD rpb 40 measures 15.9M actual vs ~14.9M accounted)
         )
@@ -582,6 +599,7 @@ def make_packed_composite_program(
     interpret: bool | None = None,
     cchunk: int = COL_CHUNK,
     poly_gamma: bool = False,
+    sextet_split: bool = False,
     _ablate: str = "",
 ):
     """fn(srcs, mats (L,3,3), mixes (L,)) -> packed v210 word planes
@@ -594,6 +612,14 @@ def make_packed_composite_program(
     analytic (one evaluation per OUTPUT pixel; the decode runs once
     per source pixel per window row — 8 sources x the window overlap
     at the serving shape).
+
+    ``sextet_split`` performs the 10-bit phase split inside each
+    sextet's 256-lane window instead of once over the whole packed
+    window: ~2x the split arithmetic (the sextet windows overlap by
+    half) but no full-window phase-plane buffer — the freed ~2 MB
+    buys the next row-block rung (rpb 48 at UHD, 24 at 8K), cutting
+    every stage's decode overlap.  Bit-compatible: the same planes
+    reach deint6 either way.
 
     ``srcs``: flat host-split (4, H, G) uint32 word-plane arrays,
     layers bottom..top, each layer contributing n_src sources (a
@@ -611,7 +637,9 @@ def make_packed_composite_program(
     encode+pack)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    cfg = _composite_config(height, width, bucket, len(layer_cfg), cchunk)
+    cfg = _composite_config(
+        height, width, bucket, len(layer_cfg), cchunk, sextet_split
+    )
     assert cfg is not None, "caller gates on packed_composite_fits"
     rpb, win_r, win_c, _ = cfg
     n_blocks = height // rpb
@@ -664,10 +692,13 @@ def make_packed_composite_program(
         def window_dma(block, s, slot):
             m = src_layer[s]
             r0 = pl.multiple_of(row_off_ref[m, block], 8)
+            dst = (
+                winbuf.at[slot, :, :, pl.ds(0, g)]
+                if sextet_split  # zero tail beyond g persists untouched
+                else winbuf.at[slot]
+            )
             return pltpu.make_async_copy(
-                src_refs[s].at[:, pl.ds(r0, win_r), :],
-                winbuf.at[slot],
-                sem.at[slot],
+                src_refs[s].at[:, pl.ds(r0, win_r), :], dst, sem.at[slot]
             )
 
         # TWO windows in flight at all times (slot = s % 2): source
@@ -684,9 +715,16 @@ def make_packed_composite_program(
             window_dma(0, 0, 0).start()
             if dbuf:
                 window_dma(0, 1, 1).start()
-            # zero the phase-plane tail ONCE: sources only ever write
+            # zero the sextet-reach tail ONCE: DMAs only ever write
             # [:g], and scratch persists across grid steps
-            vals[:, :, :, g:] = jnp.zeros((2, 12, win_r, g2 - g), jnp.bfloat16)
+            if sextet_split:
+                winbuf[:, :, :, g:] = jnp.zeros(
+                    (2, 4, win_r, 128), jnp.uint32
+                )
+            else:
+                vals[:, :, :, g:] = jnp.zeros(
+                    (2, 12, win_r, g2 - g), jnp.bfloat16
+                )
 
         def build_cw(j, m):
             c0 = pl.multiple_of(col_off_ref[m, j], 128)
@@ -731,7 +769,7 @@ def make_packed_composite_program(
                     (plane & 3).astype(jnp.float32).astype(jnp.bfloat16)
                 )
 
-        def decode_chunks(gain=None, accumulate=False):
+        def decode_chunks(slot, gain=None, accumulate=False):
             # fori over SEXTETS of chunks: chunk j = 6u + k has group
             # base 128u + (128k)//6 and chroma base 128u + (64k)//3 —
             # the dynamic part is 128-ALIGNED (Mosaic-legal window
@@ -741,8 +779,23 @@ def make_packed_composite_program(
             # (an unrolled 8K decode overflowed the compile service).
             def sextet(u, _):
                 base = pl.multiple_of(u * 128, 128)
-                winh = [vals[0, q, :, pl.ds(base, 256)] for q in range(12)]
-                winl = [vals[1, q, :, pl.ds(base, 256)] for q in range(12)]
+                if sextet_split:
+                    # split THIS 256-lane window from the raw words
+                    ys, cbs, crs = _unpack_phases(
+                        *[winbuf[slot, p, :, pl.ds(base, 256)] for p in range(4)]
+                    )
+                    planes = list(ys) + list(cbs) + list(crs)
+                    winh = [
+                        (p >> 2).astype(jnp.float32).astype(jnp.bfloat16)
+                        for p in planes
+                    ]
+                    winl = [
+                        (p & 3).astype(jnp.float32).astype(jnp.bfloat16)
+                        for p in planes
+                    ]
+                else:
+                    winh = [vals[0, q, :, pl.ds(base, 256)] for q in range(12)]
+                    winl = [vals[1, q, :, pl.ds(base, 256)] for q in range(12)]
 
                 def deint6(qs, off, w):
                     fh = jnp.concatenate(
@@ -802,32 +855,43 @@ def make_packed_composite_program(
                 s = s0 + role
                 slot = s % 2 if dbuf else 0
                 window_dma(i, s, slot).wait()
-                if not ab_nosplit:
+                if not (ab_nosplit or sextet_split):
                     decode_window(slot)
-                # slot free: refill it two sources ahead (wrapping into
-                # the next block, whose slot parity matches because S
-                # is even), or one ahead when single-buffered
-                t = s + (2 if dbuf else 1)
-                if t < S:
-                    window_dma(i, t, t % 2 if dbuf else 0).start()
-                else:
 
-                    @pl.when(i + 1 < n_blocks)
-                    def _():
-                        window_dma(
-                            i + 1, t - S, (t - S) % 2 if dbuf else 0
-                        ).start()
+                def refill(s=s):
+                    # refill the slot two sources ahead (wrapping into
+                    # the next block, whose slot parity matches because
+                    # S is even), or one ahead when single-buffered
+                    t = s + (2 if dbuf else 1)
+                    if t < S:
+                        window_dma(i, t, t % 2 if dbuf else 0).start()
+                    else:
 
+                        @pl.when(i + 1 < n_blocks)
+                        def _():
+                            window_dma(
+                                i + 1, t - S, (t - S) % 2 if dbuf else 0
+                            ).start()
+
+                if not sextet_split:
+                    # the phase split copied the window out: the slot
+                    # is free before the chunk decode runs
+                    refill()
                 if ab_nodecode:
                     pass
                 elif n_src == 2:
                     mix = mix_ref[m, 0]
                     decode_chunks(
+                        slot,
                         gain=mix if role == 0 else 1.0 - mix,
                         accumulate=role > 0,
                     )
                 else:
-                    decode_chunks()
+                    decode_chunks(slot)
+                if sextet_split:
+                    # the chunk decode read winbuf directly: only now
+                    # is the slot free to overwrite
+                    refill()
 
             if ab_nowarp:
                 # composite straight from the decoded window's top rpb
@@ -945,8 +1009,15 @@ def make_packed_composite_program(
             for _ in range(4)
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, 4, win_r, g), jnp.uint32),
-            pltpu.VMEM((2, 12, win_r, g2), jnp.bfloat16),
+            pltpu.VMEM(
+                (2, 4, win_r, g + (128 if sextet_split else 0)), jnp.uint32
+            ),
+            # full-window phase planes, or a placeholder when the split
+            # happens per sextet window
+            pltpu.VMEM(
+                (1, 1, 8, 128) if sextet_split else (2, 12, win_r, g2),
+                jnp.bfloat16,
+            ),
             pltpu.VMEM((2, 3, win_r, width), jnp.bfloat16),
             pltpu.VMEM((2, 3, rpb, width), jnp.bfloat16),
             pltpu.VMEM((2, 3, rpb, win_c), jnp.bfloat16),

@@ -133,10 +133,17 @@ def test_channel_program_routes_packed():
 
 
 @pytest.mark.parametrize(
-    "cchunk,poly_gamma",
-    [(128, False), (256, False), (384, False), (128, True)],
+    "cchunk,poly_gamma,sextet_split",
+    [
+        (128, False, False),
+        (256, False, False),
+        (384, False, False),
+        (128, True, False),
+        (128, False, True),
+        (384, True, True),
+    ],
 )
-def test_packed_composite_matches_staged_channel(cchunk, poly_gamma):
+def test_packed_composite_matches_staged_channel(cchunk, poly_gamma, sextet_split):
     """The all-layers packed composite kernel (decode+premix+warp+over+
     pack, one launch) vs the XLA channel program: <=1 packed code.
     Parametrized over the column-pass chunk width (the one-hot FLOP
@@ -164,7 +171,7 @@ def test_packed_composite_matches_staged_channel(cchunk, poly_gamma):
     srcs = [_planes(w, h, roll=7 * k + 1) for k in range(3)]
     comp = make_packed_composite_program(
         h, w, bucket, layer_cfg, interpret=True, cchunk=cchunk,
-        poly_gamma=poly_gamma,
+        poly_gamma=poly_gamma, sextet_split=sextet_split,
     )
     got_planes = comp(
         srcs, jnp.stack([jnp.asarray(m) for m in mats]),
@@ -190,6 +197,19 @@ def test_packed_composite_matches_staged_channel(cchunk, poly_gamma):
     yb, ub, vb = (np.asarray(q) for q in v210.unpack_codes([jnp.asarray(want)], w, h))
     for qa, qb in ((ya, yb), (ua, ub), (va, vb)):
         assert np.abs(qa.astype(int) - qb.astype(int)).max() <= 1
+
+
+def test_sextet_split_unlocks_larger_row_blocks():
+    """The vals-free split's freed VMEM must buy the next rpb rung at
+    the serving shapes (that is its whole point)."""
+    from phaneron_tpu.ops.pallas_packed_warp import _composite_config
+
+    base_uhd = _composite_config(2160, 3840, 1, 4)
+    split_uhd = _composite_config(2160, 3840, 1, 4, sextet_split=True)
+    assert split_uhd.rpb > base_uhd.rpb, (base_uhd, split_uhd)
+    base_8k = _composite_config(4320, 7680, 1, 4)
+    split_8k = _composite_config(4320, 7680, 1, 4, sextet_split=True)
+    assert split_8k.rpb > base_8k.rpb, (base_8k, split_8k)
 
 
 def test_pitch_padded_width():

@@ -91,10 +91,19 @@ def main():
     )
     log(f"  dma+fx = {results['nosplit+nowarp+nopack']:.3f} ms residual")
 
-    # column-chunk width / poly-gamma A/B on the full kernel
-    for cchunk, poly in ((256, False), (384, False), (128, True), (384, True)):
+    # column-chunk / poly-gamma / sextet-split A/B on the full kernel
+    variants = (
+        (256, False, False),
+        (384, False, False),
+        (128, True, False),
+        (384, True, False),
+        (128, False, True),
+        (384, True, True),
+    )
+    for cchunk, poly, split in variants:
         prog = make_packed_composite_program(
-            h, w, bucket, layer_cfg, cchunk=cchunk, poly_gamma=poly
+            h, w, bucket, layer_cfg,
+            cchunk=cchunk, poly_gamma=poly, sextet_split=split,
         )
 
         @jax.jit
@@ -104,7 +113,10 @@ def main():
 
         step_c = lambda x: raw_c(x, mats_j, mixes_j, *statics)
         ms, _ = chain_ms(step_c, x0, n_small=8, n_large=32)
-        log(f"  full cchunk={cchunk} poly_gamma={poly}: {ms:8.3f} ms/frame")
+        log(
+            f"  full cchunk={cchunk} poly={int(poly)} "
+            f"split={int(split)}: {ms:8.3f} ms/frame"
+        )
 
 
 main()
