@@ -61,6 +61,12 @@ __all__ = [
 ]
 
 COL_CHUNK = 128
+# Column-pass output chunk width for the warp family: 128 (proven on
+# hardware), 256/384 (wider chunks amortise the fixed 127-lane window
+# alignment slack — fewer one-hot FLOPs per output pixel), or None to
+# auto-pick the widest that divides the frame and fits VMEM.  Flip
+# after the hardware A/B (tools/warp_ablate.py).
+WARP_CCHUNK: int | None = 128
 # bucket -> (max |m00|/|m11| covered, preferred output rows per block).
 # The near-1 buckets matter: broadcast DVE fills hover around 0.85-1.0x
 # scale (|m| 1.0-1.18), and window rows — hence the packed kernels'
@@ -88,10 +94,21 @@ def _ceil_to(v: float, m: int) -> int:
     return int(-(-v // m) * m)
 
 
-def _config(height: int, width: int, bucket: int, n_mat: int, with_mask: bool = False) -> _Cfg:
+def _config(
+    height: int,
+    width: int,
+    bucket: int,
+    n_mat: int,
+    with_mask: bool = False,
+    cchunk: int = COL_CHUNK,
+) -> _Cfg:
     bound, preferred = BUCKET_BOUNDS[bucket]
-    win_c = min(_ceil_to(bound * (COL_CHUNK - 1) + 2 + (COL_CHUNK - 1), 128), width)
-    n_chunks = width // COL_CHUNK
+    # column window: bound*(cchunk-1) real taps + 2 bilinear + 127-lane
+    # alignment slack (col_off stays 128-aligned whatever the chunk
+    # width) — FLOPs per output pixel fall as win_c/cchunk with wider
+    # chunks (3.0 at 128 -> 1.67 at 384 for the 1.12 bucket)
+    win_c = min(_ceil_to(bound * (cchunk - 1) + 2 + 127, 128), width)
+    n_chunks = width // cchunk
 
     def plan(rpb_pref: int, persist: bool) -> tuple[_Cfg, int]:
         rpb = _rows_per_block(height, rpb_pref)
@@ -105,7 +122,7 @@ def _config(height: int, width: int, bucket: int, n_mat: int, with_mask: bool = 
         flat = 2 * 4 * rpb * win_c * 2
         mask = 2 * rpb * width * 4 if with_mask else 0  # wipe mask block
         cw_slots = n_mat * n_chunks if persist else 1
-        cw = cw_slots * 2 * win_c * COL_CHUNK * 2
+        cw = cw_slots * 2 * win_c * cchunk * 2
         return _Cfg(rpb, win_r, win_c, persist), win + win2 + rows + out + flat + mask + cw
 
     # biggest block size whose persisted-weight layout fits VMEM wins
@@ -172,14 +189,33 @@ def _make_program(
     interpret: bool,
     _variant: str = "full",
     pair_mode: str = "dissolve",
+    cchunk: int | None = None,
 ):
     assert width % COL_CHUNK == 0, "caller gates on width % 128 (pipeline._pick_warp)"
     assert n_src in (1, 2) and n_mat in (1, n_src)
     mixing = n_src == 2
     wipe = mixing and pair_mode == "wipe"
-    rpb, win_r, win_c, persist_cw = _config(height, width, bucket, n_mat, with_mask=wipe)
+    if cchunk is None:
+        cchunk = WARP_CCHUNK
+    if cchunk is None:
+        # widest column chunk the frame divides into whose plan fits
+        # (wider chunks amortise the 127-lane alignment slack)
+        for cand in (384, 256, COL_CHUNK):
+            if width % cand:
+                continue
+            try:
+                _config(height, width, bucket, n_mat, with_mask=wipe, cchunk=cand)
+            except ValueError:
+                continue
+            cchunk = cand
+            break
+        else:
+            cchunk = COL_CHUNK
+    rpb, win_r, win_c, persist_cw = _config(
+        height, width, bucket, n_mat, with_mask=wipe, cchunk=cchunk
+    )
     n_blocks = height // rpb
-    n_chunks = width // COL_CHUNK
+    n_chunks = width // cchunk
 
     def kernel(*refs):
         (row_off_ref, py_ref, px_ref, col_off_ref) = refs[:4]
@@ -208,13 +244,13 @@ def _make_program(
         # ---- column weights [wh, wl]: chunk-dependent only — build once
         # on the first block when they fit VMEM, else per block
         def build_cw(j, m, store):
-            c0 = pl.multiple_of(col_off_ref[m, j], COL_CHUNK)
-            o0 = pl.multiple_of(j * COL_CHUNK, COL_CHUNK)
-            pxc = px_ref[pl.ds(m, 1), pl.ds(o0, COL_CHUNK)]  # (1, 128)
+            c0 = pl.multiple_of(col_off_ref[m, j], 128)
+            o0 = pl.multiple_of(j * cchunk, 128)
+            pxc = px_ref[pl.ds(m, 1), pl.ds(o0, cchunk)]  # (1, cchunk)
             x0 = jnp.floor(pxc)
             fx = (pxc - x0).astype(jnp.float32)
             x0i = x0.astype(jnp.int32)
-            cc = jax.lax.broadcasted_iota(jnp.int32, (win_c, COL_CHUNK), 0) + c0
+            cc = jax.lax.broadcasted_iota(jnp.int32, (win_c, cchunk), 0) + c0
             v0 = jnp.where((x0i >= 0) & (x0i < width), 1.0 - fx, 0.0)
             v1 = jnp.where((x0i + 1 >= 0) & (x0i + 1 < width), fx, 0.0)
             w = jnp.where(cc == x0i, v0, 0.0) + jnp.where(cc == x0i + 1, v1, 0.0)
@@ -279,13 +315,13 @@ def _make_program(
             # can).  fori_loop, NOT a Python loop: full unrolling at UHD
             # overflows the Mosaic scoped-vmem stack.
             def one_chunk(j):
-                o0 = pl.multiple_of(j * COL_CHUNK, COL_CHUNK)
+                o0 = pl.multiple_of(j * cchunk, 128)
                 if persist_cw:
                     store = m * n_chunks + j
                 else:
                     store = 0
                     build_cw(j, m, 0)
-                c0 = pl.multiple_of(col_off_ref[m, j], COL_CHUNK)
+                c0 = pl.multiple_of(col_off_ref[m, j], 128)
                 flat2[0, :, :, :] = rows2[0, :, :, pl.ds(c0, win_c)]
                 flat2[1, :, :, :] = rows2[1, :, :, pl.ds(c0, win_c)]
                 fh = flat2[0].reshape(4 * rpb, win_c)
@@ -294,17 +330,17 @@ def _make_program(
                     jnp.dot(fh, cw[store, 0], preferred_element_type=jnp.float32)
                     + jnp.dot(fl, cw[store, 0], preferred_element_type=jnp.float32)
                     + jnp.dot(fh, cw[store, 1], preferred_element_type=jnp.float32)
-                ).reshape(4, rpb, COL_CHUNK)
+                ).reshape(4, rpb, cchunk)
                 if wipe:
                     # wipe masks in OUTPUT space (transition.ts:66-74):
                     # out = warp(a)*(1-m) + warp(b)*m per pixel
-                    mtile = mix_ref[:, pl.ds(o0, COL_CHUNK)]
+                    mtile = mix_ref[:, pl.ds(o0, cchunk)]
                     chunk = chunk * ((1.0 - mtile) if s == 0 else mtile)
                 elif gain is not None:
                     chunk = chunk * gain
                 if accumulate_out:
-                    chunk = out_ref[:, :, pl.ds(o0, COL_CHUNK)] + chunk
-                out_ref[:, :, pl.ds(o0, COL_CHUNK)] = chunk
+                    chunk = out_ref[:, :, pl.ds(o0, cchunk)] + chunk
+                out_ref[:, :, pl.ds(o0, cchunk)] = chunk
 
             # unrolled x2 inside the loop: the TPU scalar core's
             # per-iteration overhead is visible at 30 chunks/block
@@ -408,7 +444,7 @@ def _make_program(
             pltpu.VMEM((2, 4, rpb, width), jnp.bfloat16),
             pltpu.VMEM((2, 4, rpb, win_c), jnp.bfloat16),
             pltpu.VMEM(
-                ((n_mat * n_chunks if persist_cw else 1), 2, win_c, COL_CHUNK),
+                ((n_mat * n_chunks if persist_cw else 1), 2, win_c, cchunk),
                 jnp.bfloat16,
             ),
             pltpu.SemaphoreType.DMA,
@@ -439,11 +475,11 @@ def _make_program(
                     max(height - win_r, 0),
                 )
             )
-            chunks = jnp.arange(n_chunks) * COL_CHUNK
-            col_lo = jnp.minimum(px[chunks], px[chunks + COL_CHUNK - 1])
+            chunks = jnp.arange(n_chunks) * cchunk
+            col_lo = jnp.minimum(px[chunks], px[chunks + cchunk - 1])
             col_offs.append(
                 jnp.clip(
-                    jnp.floor(col_lo).astype(jnp.int32) // COL_CHUNK * COL_CHUNK,
+                    jnp.floor(col_lo).astype(jnp.int32) // 128 * 128,
                     0,
                     max(width - win_c, 0),
                 )
@@ -492,6 +528,7 @@ def make_warp_program(
     bucket: int = 0,
     interpret: bool | None = None,
     _variant: str = "full",
+    cchunk: int | None = None,
 ):
     """fn(src (4,H,W) f32, mat (3,3) f32) -> (4,H,W) f32.
 
@@ -501,7 +538,7 @@ def make_warp_program(
     (tools/warp_ablate.py) — production always uses 'full'."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    return _make_program(height, width, bucket, 1, 1, interpret, _variant)
+    return _make_program(height, width, bucket, 1, 1, interpret, _variant, cchunk=cchunk)
 
 
 def make_warp_pair_program(
@@ -510,6 +547,7 @@ def make_warp_pair_program(
     bucket: int = 0,
     same_mat: bool = True,
     interpret: bool | None = None,
+    cchunk: int | None = None,
 ):
     """Fused dissolve pair: fn(src_a, src_b, mat_a, mat_b, mix) ->
     warp(src_a)*mix + warp(src_b)*(1-mix), one kernel launch.
@@ -519,7 +557,9 @@ def make_warp_pair_program(
     transition."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    return _make_program(height, width, bucket, 2, 1 if same_mat else 2, interpret)
+    return _make_program(
+        height, width, bucket, 2, 1 if same_mat else 2, interpret, cchunk=cchunk
+    )
 
 
 def make_wipe_pair_program(

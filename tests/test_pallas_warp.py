@@ -54,6 +54,42 @@ def test_every_bucket_geometry():
             assert np.abs(ref - out).max() <= 5e-5, (scale, off)
 
 
+@pytest.mark.parametrize("cchunk", [256, 384])
+def test_warp_cchunk_bit_equals_128(cchunk):
+    """Wider column chunks (the alignment-slack amortisation knob) are
+    BIT-IDENTICAL to the 128-chunk kernel: the extra window lanes carry
+    exact-zero one-hot weights, and the dots accumulate in f32."""
+    from phaneron_tpu.ops.pallas_warp import make_warp_pair_program
+
+    w, h = 768, 64
+    rng = np.random.default_rng(11)
+    src = jnp.asarray(rng.random((4, h, w), dtype=np.float32))
+    src_b = jnp.asarray(rng.random((4, h, w), dtype=np.float32))
+    m = transform_matrix(w, h, scale_x=0.9, scale_y=0.9, offset_x=0.03)
+    bucket = bucket_of(m)
+    mj = jnp.asarray(m)
+    base = np.asarray(
+        make_warp_program(h, w, bucket, interpret=True, cchunk=128)(src, mj)
+    )
+    out = np.asarray(
+        make_warp_program(h, w, bucket, interpret=True, cchunk=cchunk)(src, mj)
+    )
+    assert np.array_equal(base, out)
+    # pair kernel too (the interlaced default load's per-layer op)
+    mix = 0.35
+    basep = np.asarray(
+        make_warp_pair_program(h, w, bucket, interpret=True, cchunk=128)(
+            src, src_b, mj, mj, mix
+        )
+    )
+    outp = np.asarray(
+        make_warp_pair_program(h, w, bucket, interpret=True, cchunk=cchunk)(
+            src, src_b, mj, mj, mix
+        )
+    )
+    assert np.array_equal(basep, outp)
+
+
 def test_bucket_bounds():
     assert bucket_of(transform_matrix(W, H, rotate=0.1)) == -1  # rotation
     assert bucket_of(transform_matrix(W, H, scale_y=0.1)) == -1  # |m11|=10

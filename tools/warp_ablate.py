@@ -29,6 +29,14 @@ def main():
         warp = make_warp_program(h, w, bucket, _variant=variant)
         ms, _ = chain_ms(lambda x: warp(x, m), src, floor_bytes=0)
         log(f"  {variant:6s} {ms:7.3f} ms/frame")
+    # column-chunk width A/B (bit-identical outputs; wider chunks
+    # amortise the 127-lane window alignment slack)
+    for cchunk in (256, 384):
+        if w % cchunk:
+            continue
+        warp = make_warp_program(h, w, bucket, cchunk=cchunk)
+        ms, _ = chain_ms(lambda x: warp(x, m), src, floor_bytes=0)
+        log(f"  full cchunk={cchunk} {ms:7.3f} ms/frame")
 
 
 main()
