@@ -3,10 +3,10 @@
 Measures, via the bench's dependent-chain method, each stage of one
 interlaced 1080i channel field tick in isolation:
   - 4 v210 unpacks (the per-tick share of the period's 8)
-  - 8 XLA yadif ring deinterlaces
+  - 8 yadif ring deinterlaces (dispatching Pallas on TPU)
   - 4 fused dissolve pair warps (on pre-deinterlaced frames)
-  - combine + v210 pack + RGBA emit
-  - the field-pair interlaced pack (0.5x per tick)
+  - both field-pair forms: the packed-domain word interleave the
+    consumers now use, and the RGBA re-encode it replaced
 Run on the TPU: python tools/interlace_profile.py
 """
 from __future__ import annotations
@@ -23,12 +23,13 @@ import numpy as np
 from bench import chain_ms
 from phaneron_tpu.graph.pipeline import (
     make_interlaced_pack_program,
+    make_interlaced_word_pack_program,
     make_unpack_program,
+    make_yadif_program,
 )
 from phaneron_tpu.ops.formats import get_format, host_split
 from phaneron_tpu.ops.geometry import transform_matrix
 from phaneron_tpu.ops.pallas_warp import bucket_of, make_warp_pair_program
-from phaneron_tpu.ops.yadif import yadif_frame
 
 W, H = 1920, 1080
 
@@ -62,13 +63,16 @@ def main():
     ms, _ = chain_ms(step, words[0], n_small=8, n_large=40)
     print(f"4 unpacks: {ms:.3f} ms")
 
-    # -- 8 yadifs
+    # -- 8 yadifs (make_yadif_program dispatches the Pallas ring
+    # kernel on TPU, the XLA formulation off-geometry)
+    yad = make_yadif_program(True, False)
+
     @jax.jit
     def yadifs8(x, *fr):
         bit = x[0, 0, 0]
         for s in range(8):
             p, c, n = fr[3 * s : 3 * s + 3]
-            out = yadif_frame(p + bit * 1e-30, c, n, jnp.int32(0), True)
+            out = yad(p + bit * 1e-30, c, n, jnp.int32(0))
             bit = out[0, 0, 0]
         return x + bit * 1e-30
 
@@ -90,7 +94,7 @@ def main():
     ms, _ = chain_ms(step, frames[0], n_small=4, n_large=20)
     print(f"4 pair warps: {ms:.3f} ms  ({ms/4:.3f} each)")
 
-    # -- field-pair pack
+    # -- field-pair, RGBA re-encode form (the replaced consumer path)
     @jax.jit
     def fp(x, a):
         out = pack_pair(x, a)
@@ -98,7 +102,23 @@ def main():
 
     step = lambda x: fp(x, frames[1])
     ms, _ = chain_ms(step, frames[0], n_small=8, n_large=40)
-    print(f"field-pair pack: {ms:.3f} ms")
+    print(f"field-pair RGBA re-encode: {ms:.3f} ms")
+
+    # -- field-pair, packed-domain word interleave (the consumer path);
+    # operates on the channel's packed output form (H, words)
+    from phaneron_tpu.ops.pallas_kernels import planes_to_words
+
+    word_pair = make_interlaced_word_pack_program("v210")
+    wfrm = [jax.block_until_ready(jax.jit(planes_to_words)(w_)) for w_ in words[:2]]
+
+    @jax.jit
+    def fw(x, a):
+        out = word_pair([x], [a])
+        return x ^ (out[0].reshape(-1)[0] & jnp.uint32(1))
+
+    step = lambda x: fw(x, wfrm[1])
+    ms, _ = chain_ms(step, wfrm[0], n_small=8, n_large=40)
+    print(f"field-pair word interleave: {ms:.3f} ms")
 
 
 if __name__ == "__main__":
