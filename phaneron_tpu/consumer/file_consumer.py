@@ -53,9 +53,6 @@ class FileConsumer(Consumer):
         self._fh = None
         self._wav = None
         self._frames = 0
-        self._pending_field = None  # top field awaiting its pair
-        self._word_pair = None
-        self._pack_pair = None
         # deep enough for the fetch thread to batch device syncs
         self._q: queue.Queue = queue.Queue(maxsize=32)
         self._ring: StagingRing | None = None
@@ -67,29 +64,10 @@ class FileConsumer(Consumer):
         await super().initialise(fmt)
         self.interlaced = fmt.interlaced
         if self.interlaced:
-            from ..graph.pipeline import (
-                make_interlaced_pack_program,
-                make_interlaced_word_pack_program,
-            )
-
             # packed-domain field pairing for row-independent formats
             # (bit-identical, no re-encode, channel stays packed-only);
             # 4:2:0 outputs fall back to packing the RGBA pair
-            self._word_pair = make_interlaced_word_pack_program(self.pix_format)
-            if self._word_pair is None:
-                self.needs_rgba = True
-                import jax
-                import jax.numpy as jnp
-
-                from ..graph.warmup import prewarm_jit
-
-                self._pack_pair = make_interlaced_pack_program(
-                    self.pix_format, fmt.width, fmt.height, "709"
-                )
-                field = jax.ShapeDtypeStruct(
-                    (4, fmt.height, fmt.width), jnp.float32
-                )
-                prewarm_jit(self._pack_pair, field, field)
+            self._init_field_pairing(fmt)
         self.path.parent.mkdir(parents=True, exist_ok=True)
         from ..ops.formats import get_format
 
@@ -159,19 +137,11 @@ class FileConsumer(Consumer):
             # pair is a device dispatch — no host copy here.  The first
             # field's audio travels WITH the pending pair so a dropped
             # video frame drops both fields' audio (no A/V drift)
-            field = frame.packed if self._word_pair is not None else frame.rgba
-            if field is None:
+            pair = self._pair_field(frame, pcms[0])
+            if pair is None:
                 return
-            if self._pending_field is None:
-                self._pending_field = (field, pcms[0])
-                return
-            top, top_pcm = self._pending_field
-            if self._word_pair is not None:
-                planes = self._word_pair(top, field)
-            else:
-                planes = self._pack_pair(top, field)
+            planes, top_pcm = pair
             pcms = [top_pcm, pcms[0]]
-            self._pending_field = None
         # audio rides WITH the video item: the fetch thread enqueues it
         # into _audio_q immediately before staging the frame, so the
         # writer can never observe a frame whose audio hasn't arrived

@@ -48,9 +48,6 @@ class SDIConsumer(Consumer):
         self.latency = self.params.get("latency", "normal")  # macadamConsumer.ts:32-50
         self.backend = self.params.get("backend")  # injected hardware shim
         self.late_frames = 0
-        self._pending_field = None  # (field, audio) awaiting its bottom pair
-        self._pack_pair = None
-        self._word_pair = None
         self._t0 = None  # hardware-clock origin of frame 0
         self._displayed = 0
 
@@ -63,29 +60,10 @@ class SDIConsumer(Consumer):
             )
         self.interlaced = fmt.interlaced
         if self.interlaced:
-            from ..graph.pipeline import (
-                make_interlaced_pack_program,
-                make_interlaced_word_pack_program,
-            )
-
             # packed-domain field pairing when the format's rows pack
             # independently (bit-identical, no re-encode, and the
             # channel keeps emitting packed-only — no RGBA round trip)
-            self._word_pair = make_interlaced_word_pack_program(self.pix_format)
-            if self._word_pair is None:
-                self.needs_rgba = True
-                import jax
-                import jax.numpy as jnp
-
-                from ..graph.warmup import prewarm_jit
-
-                self._pack_pair = make_interlaced_pack_program(
-                    self.pix_format, fmt.width, fmt.height, "709"
-                )
-                field = jax.ShapeDtypeStruct(
-                    (4, fmt.height, fmt.width), jnp.float32
-                )
-                prewarm_jit(self._pack_pair, field, field)
+            self._init_field_pairing(fmt)
         # displayed-frame period: interlaced channels tick at field rate,
         # the wire carries one frame per two fields (config.ts:43-78)
         self.frame_period = fmt.duration / fmt.timescale * (2 if fmt.interlaced else 1)
@@ -95,18 +73,10 @@ class SDIConsumer(Consumer):
         planes = frame.packed
         audio = frame.audio
         if self.interlaced:
-            field = frame.packed if self._word_pair is not None else frame.rgba
-            if field is None:
+            pair = self._pair_field(frame, frame.audio)
+            if pair is None:
                 return
-            if self._pending_field is None:
-                self._pending_field = (field, frame.audio)
-                return
-            top, top_audio = self._pending_field
-            self._pending_field = None
-            if self._word_pair is not None:
-                planes = self._word_pair(top, field)
-            else:
-                planes = self._pack_pair(top, field)
+            planes, top_audio = pair
             audio = np.concatenate([top_audio, frame.audio], axis=1)
         await self._wait_hw()
         audio_s32 = interleave_s32(audio)

@@ -569,11 +569,26 @@ def _channel_frame(spec: ChannelSpec, params: dict):
             2 if ls.transition == "dissolve" else 1 for ls in spec.layers
         )
         bucket = max(ls.warp_bucket for ls in spec.layers)
+        from ..ops.pallas_packed_warp import _composite_config
+
+        cc = PACKED_CCHUNK or composite_cchunk(
+            h, w, bucket, len(spec.layers), PACKED_SEXTET_SPLIT
+        )
+        if (
+            w % cc
+            or _composite_config(
+                h, w, bucket, len(spec.layers), cc, PACKED_SEXTET_SPLIT
+            )
+            is None
+        ):
+            # a fixed PACKED_CCHUNK that doesn't divide this frame or
+            # fit its VMEM plan falls back to the gate's 128 plan
+            # (packed_composite_fits proved that one feasible)
+            cc = 128
         progc = make_packed_composite_program(
             h, w, bucket,
             layer_cfg, spec.col_spec, spec.out_col_spec,
-            cchunk=PACKED_CCHUNK
-            or composite_cchunk(h, w, bucket, len(spec.layers)),
+            cchunk=cc,
             poly_gamma=PACKED_POLY_GAMMA,
             sextet_split=PACKED_SEXTET_SPLIT,
         )

@@ -574,14 +574,22 @@ def packed_composite_fits(
     return _composite_config(height, width, bucket, n_layers) is not None
 
 
-def composite_cchunk(height: int, width: int, bucket: int, n_layers: int) -> int:
+def composite_cchunk(
+    height: int,
+    width: int,
+    bucket: int,
+    n_layers: int,
+    sextet_split: bool = False,
+) -> int:
     """Column-pass chunk width for the composite: the widest chunk the
     frame divides into whose VMEM plan still fits (FLOPs per output
     pixel fall with chunk width; see _composite_config)."""
     for cchunk in (384, 256):
         if (
             width % cchunk == 0
-            and _composite_config(height, width, bucket, n_layers, cchunk)
+            and _composite_config(
+                height, width, bucket, n_layers, cchunk, sextet_split
+            )
             is not None
         ):
             return cchunk

@@ -197,20 +197,20 @@ def _make_program(
     wipe = mixing and pair_mode == "wipe"
     if cchunk is None:
         cchunk = WARP_CCHUNK
-    if cchunk is None:
-        # widest column chunk the frame divides into whose plan fits
-        # (wider chunks amortise the 127-lane alignment slack)
-        for cand in (384, 256, COL_CHUNK):
-            if width % cand:
-                continue
-            try:
-                _config(height, width, bucket, n_mat, with_mask=wipe, cchunk=cand)
-            except ValueError:
-                continue
-            cchunk = cand
-            break
-        else:
-            cchunk = COL_CHUNK
+    # candidate ladder: a requested width falls back to 128 when it
+    # does not divide the frame or its plan cannot fit VMEM — a knob
+    # value must never silently leave tail columns unwritten
+    for cand in ((cchunk,) if cchunk else (384, 256)) + (COL_CHUNK,):
+        if width % cand:
+            continue
+        try:
+            _config(height, width, bucket, n_mat, with_mask=wipe, cchunk=cand)
+        except ValueError:
+            continue
+        cchunk = cand
+        break
+    else:
+        cchunk = COL_CHUNK
     rpb, win_r, win_c, persist_cw = _config(
         height, width, bucket, n_mat, with_mask=wipe, cchunk=cchunk
     )

@@ -135,12 +135,9 @@ def test_channel_program_routes_packed():
 @pytest.mark.parametrize(
     "cchunk,poly_gamma,sextet_split",
     [
-        (128, False, False),
-        (256, False, False),
-        (384, False, False),
-        (128, True, False),
-        (128, False, True),
-        (384, True, True),
+        (128, False, False),  # the shipped default
+        (128, False, True),  # split alone: the DMA/refill path change
+        (384, True, True),  # all levers combined
     ],
 )
 def test_packed_composite_matches_staged_channel(cchunk, poly_gamma, sextet_split):
