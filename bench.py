@@ -445,6 +445,20 @@ def main():
         rot_worst_ms = max(rot_worst_ms, ms)
     log(f"rotation worst angle 1080p: {rot_worst_ms:.3f} ms/frame "
         f"({rot_ms / rot_worst_ms:.1f}x the gather)")
+    # UHD rotation (the shear kernel scales ~linearly with pixels; a
+    # spinning UHD layer must still fit the 50 Hz budget single-chip)
+    rot_u_np = transform_matrix(3840, 2160, rotate=100 / 360.0, scale_x=0.9, scale_y=0.9)
+    rot_u_src = jax.device_put(rng.random((4, 2160, 3840), dtype=np.float32))
+    code_u = rot_bucket_of(np.asarray(rot_u_np), 3840, 2160)
+    rot_uhd_ms = float("nan")
+    if code_u >= 0:
+        rotu = make_rotate_program(2160, 3840, code_u, interpret=interpret)
+        muj = jax.device_put(jnp.asarray(rot_u_np))
+        rot_uhd_ms, _ = chain_ms(
+            lambda x: rotu(x, muj), rot_u_src, n_small=2, n_large=10,
+            floor_bytes=4 * rot_u_src.nbytes,
+        )
+        log(f"rotation 100 deg UHD: {rot_uhd_ms:.3f} ms/frame")
 
     # 2c. BASELINE config 2: deinterlace (yadif over a 3-frame ring) and
     # the scaler (separable stretch-fit), 1080-class geometry
@@ -638,6 +652,7 @@ def main():
                     "rotation_gather_1080p_ms": round(rot_ms, 2),
                     "rotation_pallas_1080p_ms": round(rotp_ms, 2),
                     "rotation_worst_angle_ms": round(rot_worst_ms, 2),
+                    "rotation_uhd_ms": round(rot_uhd_ms, 2),
                     "hd4i_4channels_tick_ms": r2(i4_tick_ms),
                     "hd4i_4channels_field_budget_pct": r2(
                         i4_tick_ms / 20.0 * 100, 1
