@@ -103,6 +103,16 @@ def render(src: Path) -> str:
                 f"{e['rotation_gather_1080p_ms'] / worst:.1f}× the gather",
             )
         )
+    rot_u = e.get("rotation_uhd_ms")
+    if rot_u is not None and rot_u == rot_u:  # skip NaN
+        rows.append(
+            (
+                "UHD MIXER ROTATION layer (worst band)",
+                fmt(rot_u, 2),
+                "—",
+                f"{rot_u / 20 * 100:.0f}% of the 50 Hz frame budget",
+            )
+        )
     rows.append(
         (
             "UHD single-layer v210 passthrough (fused, labelled trivial)",
