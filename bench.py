@@ -674,5 +674,42 @@ def main():
     )
 
 
+def _backend_watchdog(timeout_s: float = 300.0):
+    """Fail HONESTLY if the TPU tunnel is unreachable.
+
+    axon client creation blocks forever inside make_c_api_client when
+    the tunnel is down (observed 2026-08-17: >3 h outage) — an
+    uninterruptible C call, so a watchdog thread is the only escape.
+    If the backend hasn't come up within ``timeout_s``, print a JSON
+    line that records the failure (value 0, error field) and exit:
+    a recorded outage beats a driver timeout with no artifact."""
+    import os
+    import threading
+
+    done = threading.Event()
+
+    def watch():
+        if not done.wait(timeout_s):
+            print(
+                json.dumps(
+                    {
+                        "metric": "uhd_4layer_dve_dissolve_fps_per_chip",
+                        "value": 0,
+                        "unit": "fps",
+                        "vs_baseline": 0,
+                        "error": f"TPU backend init exceeded {timeout_s:.0f}s "
+                        "(tunnel unreachable); no measurement possible",
+                    }
+                ),
+                flush=True,
+            )
+            os._exit(3)
+
+    threading.Thread(target=watch, daemon=True).start()
+    jax.devices()  # blocks here when the tunnel is down
+    done.set()
+
+
 if __name__ == "__main__":
+    _backend_watchdog()
     main()
