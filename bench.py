@@ -200,6 +200,7 @@ def interlaced_channels_step(n_channels: int, interpret: bool, w=1920, h=1080):
     layer = LayerSpec(
         RGBA_F32, transition="dissolve", has_transform=True, axis_aligned=True,
         src_b_format=RGBA_F32, deinterlace=True, warp_bucket=-1,
+        src_opaque=True,  # wire format v210: alpha==1 rings
     )
     mref = transform_matrix(w, h, scale_x=0.9, scale_y=0.9, offset_x=0.02)
     layer = layer._replace(warp_bucket=bucket_of(mref) if not interpret else -1)

@@ -70,6 +70,10 @@ class LayerSpec(NamedTuple):
     # geometry differs from the channel: unpack at source size, then
     # stretch-fit (the reference's normalized-coordinate sampling does
     # this implicitly in its transform kernel, transform.ts:26-29)
+    src_opaque: bool = False  # the deinterlace ring's alpha is the
+    # constant 1 (the WIRE format was non-RGB, so its unpack filled
+    # alpha with ones) — the yadif ring kernel then skips cur's alpha
+    # windows and writes the constant (bit-identical on such rings)
 
 
 class ChannelSpec(NamedTuple):
@@ -150,9 +154,9 @@ def _layer_source(
         ring = src[f"{key}_ring"]
         h, w = ring[0].shape[-2:]
         if ENABLE_PALLAS_YADIF and spec.pallas_stages and yadif_ring_fits(h, w):
-            rgba = make_yadif_ring_program(h, w, spec.tff)(
-                ring[0], ring[1], ring[2], src["parity"]
-            )
+            rgba = make_yadif_ring_program(
+                h, w, spec.tff, opaque=lspec.src_opaque
+            )(ring[0], ring[1], ring[2], src["parity"])
         else:
             rgba = yadif_frame(
                 ring[0], ring[1], ring[2], src["parity"], spec.tff,

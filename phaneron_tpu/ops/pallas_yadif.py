@@ -189,6 +189,7 @@ def _make_kernel(
     tff: bool,
     skip_spatial: bool,
     interpret: bool,
+    opaque: bool = False,
 ):
     cfg = _config(height, width)
     assert cfg is not None, "caller gates on yadif_ring_fits"
@@ -205,6 +206,10 @@ def _make_kernel(
     alloc = kb + 16
     slots = 2 if dbl else 1
     W = width
+    # opaque sources (every non-RGB unpack emits alpha == 1): skip the
+    # alpha channel's windows and write constant 1 — ~1/4 less cur
+    # traffic and VMEM for the interlaced default load's v210 sources
+    nc = 3 if opaque else 4
 
     # ---- window plan.  Block i needs plane rows [k0-1, k0+kb]
     # (k0 = i*kb).  Because kb % 8 == 0, every interior window can DMA
@@ -243,9 +248,9 @@ def _make_kernel(
         # (buffer, tensor, nch, field): the 5 windows of a block
         plan = (
             (wp_par, 0, 3, par),
-            (wc_par, 1, 4, par),
+            (wc_par, 1, nc, par),
             (wn_par, 2, 3, par),
-            (wc_q, 1, 4, q),
+            (wc_q, 1, nc, q),
             (wx_q, xq_t, 3, q),
         )
 
@@ -335,6 +340,11 @@ def _make_kernel(
             # predicted row): par windows and q windows share the plan
             for ch in range(4):
                 if ch == 3:
+                    if opaque:
+                        # alpha is the constant-1 plane every non-RGB
+                        # unpack emits: write it, never window it
+                        out_ref[3, :, :] = jnp.ones((kb, 2 * W), jnp.float32)
+                        continue
                     # alpha passes through from cur on every row
                     # (yadifCl.ts:163): both fields, no predictor
                     out_ref[3, :, q * W : (q + 1) * W] = wc_q[
@@ -423,9 +433,9 @@ def _make_kernel(
         ),
         scratch_shapes=[
             pltpu.VMEM((slots, 3, alloc, W), jnp.float32),
-            pltpu.VMEM((slots, 4, alloc, W), jnp.float32),
+            pltpu.VMEM((slots, nc, alloc, W), jnp.float32),
             pltpu.VMEM((slots, 3, alloc, W), jnp.float32),
-            pltpu.VMEM((slots, 4, alloc, W), jnp.float32),
+            pltpu.VMEM((slots, nc, alloc, W), jnp.float32),
             pltpu.VMEM((slots, 3, alloc, W), jnp.float32),
             pltpu.VMEM((3, 8, W), jnp.float32),
             pltpu.SemaphoreType.DMA,
@@ -461,16 +471,20 @@ def make_yadif_ring_program(
     tff: bool,
     skip_spatial: bool = False,
     interpret: bool | None = None,
+    opaque: bool = False,
 ):
     """fn(prev, cur, next_ (4,H,W) f32, parity traced int32) -> (4,H,W).
 
     Drop-in for ops.yadif.yadif_frame on geometries where
     yadif_ring_fits; parity stays traced via a two-way lax.cond over
-    the static-parity kernels."""
+    the static-parity kernels.  ``opaque`` asserts the ring's alpha is
+    the constant 1 every non-RGB unpack produces — the kernel then
+    writes 1 instead of windowing cur's alpha (bit-identical on such
+    rings, ~1/4 less cur traffic)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    k0 = _make_kernel(height, width, 0, tff, skip_spatial, interpret)
-    k1 = _make_kernel(height, width, 1, tff, skip_spatial, interpret)
+    k0 = _make_kernel(height, width, 0, tff, skip_spatial, interpret, opaque)
+    k1 = _make_kernel(height, width, 1, tff, skip_spatial, interpret, opaque)
 
     def program(prev, cur, next_, parity):
         parity = jnp.asarray(parity, dtype=jnp.int32)

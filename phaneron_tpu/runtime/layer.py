@@ -146,10 +146,19 @@ class SourceSlot:
             self.channel_fmt.height,
         ):
             src_size = (self.last.width, self.last.height)
+        opaque = False
+        if deint:
+            from ..ops.formats import get_format
+
+            try:
+                opaque = not get_format(fmt).INFO.is_rgb
+            except KeyError:
+                opaque = False
         return {
             "src_format": RGBA_F32 if deint else fmt,
             "deinterlace": deint,
             "src_size": src_size,
+            "src_opaque": opaque,
         }
 
     async def audio_tick(self) -> np.ndarray:
@@ -421,6 +430,15 @@ class Layer:
                 warp_same_mat=same_mat,
                 src_b_format=src_b_format,
             )
+            if next_params and cur_fields.get("src_opaque"):
+                # one spec covers both rings: the alpha==1 shortcut
+                # only holds when BOTH wire formats are non-RGB
+                cur_fields = dict(
+                    cur_fields,
+                    src_opaque=bool(
+                        self.next.layer_spec_fields().get("src_opaque")
+                    ),
+                )
             if tr.type == "dissolve":
                 import jax.numpy as jnp
 

@@ -40,6 +40,29 @@ def test_skip_spatial_matches():
         assert np.allclose(got, exp, atol=1e-6), parity
 
 
+def test_opaque_bit_equals_full_on_alpha_one_rings():
+    """The opaque variant (alpha windows skipped, constant 1 written)
+    must be bit-identical to the full kernel AND the XLA path on rings
+    whose alpha is 1 — exactly what every non-RGB unpack produces."""
+    h, w = 96, 128
+    rng = np.random.default_rng(9)
+
+    def ring_frame():
+        f = rng.random((4, h, w), dtype=np.float32)
+        f[3] = 1.0
+        return jnp.asarray(f)
+
+    prev, cur, nxt = (ring_frame() for _ in range(3))
+    full = make_yadif_ring_program(h, w, True, interpret=True)
+    opaq = make_yadif_ring_program(h, w, True, interpret=True, opaque=True)
+    for parity in (0, 1):
+        a = np.asarray(full(prev, cur, nxt, jnp.int32(parity)))
+        b = np.asarray(opaq(prev, cur, nxt, jnp.int32(parity)))
+        assert np.array_equal(a, b), parity
+        exp = np.asarray(yadif_frame(prev, cur, nxt, parity, True))
+        assert np.allclose(b, exp, atol=1e-6), parity
+
+
 def test_keep_rows_bit_exact():
     h, w = 96, 128
     prog = make_yadif_ring_program(h, w, True, interpret=True)
