@@ -235,9 +235,20 @@ class Channel:
         from ..graph.warmup import prewarm
 
         deint = producer.fmt.interlaced and producer.pix_format != "rgba_f32"
+        opaque = False
+        if deint:
+            # layer.layer_spec_fields sets src_opaque from the WIRE
+            # format — the prediction must match or PLAY recompiles
+            from ..ops.formats import get_format
+
+            try:
+                opaque = not get_format(producer.pix_format).INFO.is_rgb
+            except KeyError:
+                opaque = False
         base = LayerSpec(
             src_format="rgba_f32" if deint else producer.pix_format,
             deinterlace=deint,
+            src_opaque=opaque,
         )
         predicted = [base, base._replace(has_transform=True)]
         warp_ok = (

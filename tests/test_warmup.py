@@ -55,3 +55,36 @@ def test_load_source_triggers_prewarm_and_renders():
         assert frame.packed is not None
 
     run(main())
+
+
+def test_interlaced_prewarm_prediction_matches_layer_spec():
+    """The LOADBG prediction and the live layer must agree on
+    src_opaque (a v210 wire format's alpha==1 ring) — a mismatch means
+    PLAY recompiles the frame program it just prewarmed."""
+    from phaneron_tpu.config import VideoFormat
+
+    tiny_i = VideoFormat("warm_i", 2, 96, 64, 96, 50, 1, 48000, 2)
+
+    async def main():
+        ch = Channel(1, tiny_i, ProducerRegistry([create_test_pattern_producer]))
+        assert await ch.load_source(1, LoadParams("BARS"))
+        ch.play(1)
+        await ch.render_frame()
+        layer = ch.layers[1]
+        fields = layer.cur.layer_spec_fields()
+        assert fields["deinterlace"] and fields["src_opaque"]
+        # the prediction built in _prewarm_for must carry the same flag
+        from phaneron_tpu.graph.pipeline import LayerSpec
+
+        producer = layer.cur.producer
+        deint = producer.fmt.interlaced and producer.pix_format != "rgba_f32"
+        assert deint
+        from phaneron_tpu.ops.formats import get_format
+
+        opaque = not get_format(producer.pix_format).INFO.is_rgb
+        predicted = LayerSpec(
+            src_format="rgba_f32", deinterlace=True, src_opaque=opaque
+        )
+        assert predicted.src_opaque == fields["src_opaque"]
+
+    run(main())
