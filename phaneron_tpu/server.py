@@ -26,6 +26,7 @@ from .control.heads import Heads
 from .control.mixer_cmds import MixerCmds
 from .control.osc import Osc
 from .producer.avi_file import create_avi_producer
+from .producer.wav_file import create_wav_producer
 from .producer.ffmpeg import create_ffmpeg_producer
 from .producer.mjpeg import create_mjpeg_producer
 from .producer.producer import ProducerRegistry
@@ -72,6 +73,7 @@ class PhaneronServer:
                 create_test_pattern_producer,
                 create_mjpeg_producer,
                 create_avi_producer,
+                create_wav_producer,
                 create_raw_file_producer,
                 create_ffmpeg_producer,
             ]
