@@ -211,10 +211,16 @@ ENABLE_PACKED_WARP = True
 # inside the family's ~2^-17 class).  PACKED_SEXTET_SPLIT performs the
 # phase split per sextet window, freeing the full-window phase buffer
 # for a larger row block.  All default to the measured winners on
-# hardware (tools/packed_ablate.py A/B).
+# hardware (tools/packed_ablate.py A/B, UHD 4-layer dissolve shape):
+#   cchunk=128 poly=0 split=0  9.61 ms   (round-3 shipped config)
+#   cchunk=256                10.32      (wider one-hot chunk loses)
+#   cchunk=384                 VMEM-infeasible (scoped 16M exceeded)
+#   poly=1                     8.19      (analytic pow is 2.85 ms/frame)
+#   split=1                    8.82      (rpb 40 -> 48)
+#   poly=1 split=1             7.14 ms   <- shipped default
 PACKED_CCHUNK: int | None = 128
-PACKED_POLY_GAMMA = False
-PACKED_SEXTET_SPLIT = False
+PACKED_POLY_GAMMA = True
+PACKED_SEXTET_SPLIT = True
 
 
 def _packed_layer_ok(lspec: LayerSpec, spec: ChannelSpec, lparams: dict) -> bool:

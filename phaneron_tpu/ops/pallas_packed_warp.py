@@ -560,6 +560,13 @@ def _composite_config(
             + (12 * win_r * 256 * 4 if sextet_split else 0)
             + 1 * 1024 * 1024  # Mosaic stack slop (calibrated on HW:
             # UHD rpb 40 measures 15.9M actual vs ~14.9M accounted)
+            # wider column chunks keep proportionally more column-pass
+            # staging live than the cw/flat2 terms account for: UHD
+            # cchunk=384 rpb 40 compiles to a 16.4-17.4M scoped stack
+            # vs the 14.7M this model said — scale the slop so the
+            # ladder degrades rpb instead of shipping an uncompilable
+            # plan (256 stays feasible at rpb 40, as measured)
+            + (cchunk // 128 - 1) * 1792 * 1024
         )
         if total <= 16 * 1024 * 1024:
             return _PCfg(rpb, win_r, win_c, False)
@@ -993,9 +1000,10 @@ def make_packed_composite_program(
 
         if ab_nopack:
             for k in range(4):
+                # Mosaic has no direct f32->u32 cast: round-trip via i32
                 out_refs[k][:, :] = jnp.zeros((rpb, g), jnp.uint32) + comp[
                     0, :, 0:1
-                ].astype(jnp.uint32)
+                ].astype(jnp.int32).astype(jnp.uint32)
         else:
             jax.lax.fori_loop(0, n_gchunks, lambda c, _: (pack_chunk(c), 0)[1], 0)
 

@@ -253,13 +253,19 @@ sys.stdin.buffer.read(1024)  # accept a token amount, then die
         await cons.initialise(TINY)
         rgba = jnp.zeros((4, TINY.height, TINY.width), jnp.float32)
         aud = np.zeros((2, TINY.samples_per_frame), np.float32)
+        # first deliver jit-compiles the pipe pack program — keep it out
+        # of the timed window (this 1-core box runs the suite contended)
+        await asyncio.wait_for(
+            cons.deliver(ChannelFrame(0, None, rgba, aud, TINY.width, TINY.height)),
+            timeout=60,
+        )
         t0 = time.monotonic()
-        for i in range(24):
+        for i in range(1, 24):
             frame = ChannelFrame(i, None, rgba, aud, TINY.width, TINY.height)
-            await asyncio.wait_for(cons.deliver(frame), timeout=5)
-        # 24 frames through a 4-slot queue against a dead encoder: only
-        # possible when the failure flag sheds instead of blocking
-        assert time.monotonic() - t0 < 5
+            await asyncio.wait_for(cons.deliver(frame), timeout=30)
+        # 23 more frames through a 4-slot queue against a dead encoder:
+        # only possible when the failure flag sheds instead of blocking
+        assert time.monotonic() - t0 < 30
         cons.release()
         await asyncio.sleep(0.1)
 

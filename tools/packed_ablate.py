@@ -101,22 +101,29 @@ def main():
         (384, True, True),
     )
     for cchunk, poly, split in variants:
-        prog = make_packed_composite_program(
-            h, w, bucket, layer_cfg,
-            cchunk=cchunk, poly_gamma=poly, sextet_split=split,
-        )
+        try:
+            prog = make_packed_composite_program(
+                h, w, bucket, layer_cfg,
+                cchunk=cchunk, poly_gamma=poly, sextet_split=split,
+            )
 
-        @jax.jit
-        def raw_c(x, mats, mixes, *flat):
-            out = prog([x] + list(flat), mats, mixes)
-            return x ^ (out.reshape(-1)[0] & jnp.uint32(1))
+            @jax.jit
+            def raw_c(x, mats, mixes, *flat):
+                out = prog([x] + list(flat), mats, mixes)
+                return x ^ (out.reshape(-1)[0] & jnp.uint32(1))
 
-        step_c = lambda x: raw_c(x, mats_j, mixes_j, *statics)
-        ms, _ = chain_ms(step_c, x0, n_small=8, n_large=32)
-        log(
-            f"  full cchunk={cchunk} poly={int(poly)} "
-            f"split={int(split)}: {ms:8.3f} ms/frame"
-        )
+            step_c = lambda x: raw_c(x, mats_j, mixes_j, *statics)
+            ms, _ = chain_ms(step_c, x0, n_small=8, n_large=32)
+            log(
+                f"  full cchunk={cchunk} poly={int(poly)} "
+                f"split={int(split)}: {ms:8.3f} ms/frame"
+            )
+        except Exception as err:  # VMEM-infeasible variants stay documented
+            msg = str(err).split("\n")[0][:140]
+            log(
+                f"  full cchunk={cchunk} poly={int(poly)} "
+                f"split={int(split)}: FAILED ({msg})"
+            )
 
 
 main()
