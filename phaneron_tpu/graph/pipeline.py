@@ -297,6 +297,8 @@ def _use_pallas_warp(lspec: LayerSpec, spec: ChannelSpec) -> bool:
             lspec.warp_bucket,
             n_mat,
             with_mask=lspec.transition == "wipe",
+            # the premix dissolve holds both sources' windows at once
+            pair_buf=lspec.transition == "dissolve" and n_mat == 1,
         )
     )
 

@@ -101,6 +101,7 @@ def _config(
     n_mat: int,
     with_mask: bool = False,
     cchunk: int = COL_CHUNK,
+    pair_buf: bool = False,
 ) -> _Cfg:
     bound, preferred = BUCKET_BOUNDS[bucket]
     # column window: bound*(cchunk-1) real taps + 2 bilinear + 127-lane
@@ -115,7 +116,10 @@ def _config(
         # taps floor(py), floor(py)+1 over a block spanning bound*(rpb-1),
         # plus 8-row DMA alignment slack and one row of floor safety
         win_r = min(_ceil_to(bound * (rpb - 1) + 10, 8), _ceil_to(height, 8))
-        win = 4 * win_r * width * 4
+        # pair_buf: the premix dissolve holds BOTH sources' windows so
+        # source B streams behind source A's bf16 split (without it the
+        # B DMA start+wait is fully exposed every block)
+        win = (2 if pair_buf else 1) * 4 * win_r * width * 4
         win2 = 4 * 2 * win_r * width * 2
         rows = 2 * 4 * rpb * width * 2
         out = 2 * 4 * rpb * width * 4  # double-buffered output block
@@ -123,7 +127,14 @@ def _config(
         mask = 2 * rpb * width * 4 if with_mask else 0  # wipe mask block
         cw_slots = n_mat * n_chunks if persist else 1
         cw = cw_slots * 2 * win_c * cchunk * 2
-        return _Cfg(rpb, win_r, win_c, persist), win + win2 + rows + out + flat + mask + cw
+        # wider column chunks keep more column-pass staging live than
+        # the cw/flat terms account for (same lesson as the packed
+        # composite's model): scale the headroom so a wide-chunk plan
+        # the compiler's scoped 16M limit would reject is never chosen
+        slop = (cchunk // 128 - 1) * 1792 * 1024
+        return _Cfg(rpb, win_r, win_c, persist), (
+            win + win2 + rows + out + flat + mask + cw + slop
+        )
 
     # biggest block size whose persisted-weight layout fits VMEM wins
     # (fewer grid steps -> less fixed per-block cost); if none fits,
@@ -144,13 +155,22 @@ def _config(
     )
 
 
-def warp_fits(height: int, width: int, bucket: int, n_mat: int = 1, with_mask: bool = False) -> bool:
+def warp_fits(
+    height: int,
+    width: int,
+    bucket: int,
+    n_mat: int = 1,
+    with_mask: bool = False,
+    pair_buf: bool = False,
+) -> bool:
     """True when the warp kernel's scratch fits the VMEM budget for this
-    geometry/bucket — callers gate Pallas-vs-XLA-gather on it."""
+    geometry/bucket — callers gate Pallas-vs-XLA-gather on it.
+    ``pair_buf``: the premix dissolve's second window buffer (dissolve
+    pairs with a shared matrix)."""
     if bucket < 0:
         return False
     try:
-        _config(height, width, bucket, n_mat, with_mask)
+        _config(height, width, bucket, n_mat, with_mask, pair_buf=pair_buf)
         return True
     except ValueError:
         return False
@@ -200,11 +220,15 @@ def _make_program(
     # candidate ladder: a requested width falls back to 128 when it
     # does not divide the frame or its plan cannot fit VMEM — a knob
     # value must never silently leave tail columns unwritten
+    premix = mixing and not wipe and n_mat == 1
     for cand in ((cchunk,) if cchunk else (384, 256)) + (COL_CHUNK,):
         if width % cand:
             continue
         try:
-            _config(height, width, bucket, n_mat, with_mask=wipe, cchunk=cand)
+            _config(
+                height, width, bucket, n_mat,
+                with_mask=wipe, cchunk=cand, pair_buf=premix,
+            )
         except ValueError:
             continue
         cchunk = cand
@@ -212,7 +236,8 @@ def _make_program(
     else:
         cchunk = COL_CHUNK
     rpb, win_r, win_c, persist_cw = _config(
-        height, width, bucket, n_mat, with_mask=wipe, cchunk=cchunk
+        height, width, bucket, n_mat,
+        with_mask=wipe, cchunk=cchunk, pair_buf=premix,
     )
     n_blocks = height // rpb
     n_chunks = width // cchunk
@@ -226,20 +251,30 @@ def _make_program(
             idx += 1
         src_refs = refs[idx : idx + n_src]
         out_ref = refs[idx + n_src]
-        (winbuf, win2, rows2, flat2, cw, sem) = refs[idx + n_src + 1 :]
+        rest = refs[idx + n_src + 1 :]
+        if premix:
+            (winbuf, winbuf_b, win2, rows2, flat2, cw, sem, sem_b) = rest
+        else:
+            (winbuf, win2, rows2, flat2, cw, sem) = rest
+            winbuf_b = sem_b = None
 
         i = pl.program_id(0)
 
         def window_dma(block, s):
             m = min(s, n_mat - 1)
             r0 = pl.multiple_of(row_off_ref[m, block], 8)
+            # premix: source B streams into its OWN buffer/semaphore so
+            # its DMA overlaps source A's bf16 split
+            buf, sm = (winbuf_b, sem_b) if (premix and s == 1) else (winbuf, sem)
             return pltpu.make_async_copy(
-                src_refs[s].at[:, pl.ds(r0, win_r), :], winbuf, sem
+                src_refs[s].at[:, pl.ds(r0, win_r), :], buf, sm
             )
 
         @pl.when(i == 0)
         def _first():
             window_dma(0, 0).start()
+            if premix:
+                window_dma(0, 1).start()
 
         # ---- column weights [wh, wl]: chunk-dependent only — build once
         # on the first block when they fit VMEM, else per block
@@ -353,12 +388,14 @@ def _make_program(
 
             jax.lax.fori_loop(0, n_chunks // unroll, chunk_body, 0)
 
-        def split_window(gain=None, accumulate=False):
-            """winbuf f32 -> win2 bf16 hi/lo (winbuf is then dead and
+        def split_window(gain=None, accumulate=False, buf=None):
+            """window f32 -> win2 bf16 hi/lo (the window is then dead and
             the next DMA can stream into it).  ``gain``/``accumulate``
             implement the PREMIX dissolve: win2 = a*mix + b*(1-mix)."""
+            if buf is None:
+                buf = winbuf
             for c in range(4):
-                val = winbuf[c]
+                val = buf[c]
                 if gain is not None:
                     val = val * gain
                 if accumulate:
@@ -399,18 +436,25 @@ def _make_program(
             else:
                 row_col_passes(m, s, accumulate_out=wipe and s > 0)
 
-        if mixing and not wipe and n_mat == 1:
+        if premix:
             # PREMIX: a same-matrix dissolve mixes the two windows and
             # warps ONCE — the bilinear warp is linear in its source, so
             # warp(a)*mix + warp(b)*(1-mix) == warp(a*mix + b*(1-mix)),
             # at half the row/column passes (the wipe's mask lives in
-            # output space and cannot premix)
+            # output space and cannot premix).  Both windows have their
+            # own buffer+semaphore and are in flight since the previous
+            # block's splits, so neither DMA is exposed; the next
+            # block's pair streams behind this block's matmul passes.
             window_dma(i, 0).wait()
             split_window(gain=mix_ref[0, 0])
-            window_dma(i, 1).start()
             window_dma(i, 1).wait()
-            split_window(gain=1.0 - mix_ref[0, 0], accumulate=True)
-            start_next(1)
+            split_window(gain=1.0 - mix_ref[0, 0], accumulate=True, buf=winbuf_b)
+
+            @pl.when(i + 1 < n_blocks)
+            def _prefetch_pair():
+                window_dma(i + 1, 0).start()
+                window_dma(i + 1, 1).start()
+
             row_col_passes(0, 0)
         else:
             for s in range(n_src):
@@ -438,8 +482,9 @@ def _make_program(
         out_specs=pl.BlockSpec(
             (4, rpb, width), lambda i, *_: (0, i, 0), memory_space=pltpu.VMEM
         ),
-        scratch_shapes=[
-            pltpu.VMEM((4, win_r, width), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((4, win_r, width), jnp.float32)]
+        + ([pltpu.VMEM((4, win_r, width), jnp.float32)] if premix else [])
+        + [
             pltpu.VMEM((2, 4, win_r, width), jnp.bfloat16),
             pltpu.VMEM((2, 4, rpb, width), jnp.bfloat16),
             pltpu.VMEM((2, 4, rpb, win_c), jnp.bfloat16),
@@ -448,7 +493,8 @@ def _make_program(
                 jnp.bfloat16,
             ),
             pltpu.SemaphoreType.DMA,
-        ],
+        ]
+        + ([pltpu.SemaphoreType.DMA] if premix else []),
     )
     call = pl.pallas_call(
         kernel,
