@@ -193,7 +193,9 @@ def interlaced_channels_step(n_channels: int, interpret: bool, w=1920, h=1080):
     from phaneron_tpu.runtime.frame import RGBA_F32
 
     v210 = get_format("v210")
-    unpack = make_unpack_program("v210", w, h, "709", "709")
+    # opaque wire format: rings are alpha-free (3, H, W) frames, exactly
+    # what runtime/layer.SourceSlot produces for v210 sources
+    unpack = make_unpack_program("v210", w, h, "709", "709", channels=3)
     pack_pair = make_interlaced_word_pack_program("v210")
     base = np.asarray(host_split(v210, v210.fill_buf(w, h))[0])
 

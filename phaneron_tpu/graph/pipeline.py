@@ -152,10 +152,12 @@ def _layer_source(
         return pre[(li, key)]
     if lspec.deinterlace and f"{key}_ring" in src:
         ring = src[f"{key}_ring"]
+        ch = ring[0].shape[-3]  # 3: opaque alpha-free rings (shape-dispatch)
         h, w = ring[0].shape[-2:]
-        if ENABLE_PALLAS_YADIF and spec.pallas_stages and yadif_ring_fits(h, w):
+        if ENABLE_PALLAS_YADIF and spec.pallas_stages and yadif_ring_fits(h, w, ch):
             rgba = make_yadif_ring_program(
-                h, w, spec.tff, opaque=lspec.src_opaque
+                h, w, spec.tff,
+                opaque=lspec.src_opaque and ch == 4, channels=ch,
             )(ring[0], ring[1], ring[2], src["parity"])
         else:
             rgba = yadif_frame(
@@ -303,6 +305,66 @@ def _use_pallas_warp(lspec: LayerSpec, spec: ChannelSpec) -> bool:
     )
 
 
+def _with_alpha_one(rgb3: jnp.ndarray) -> jnp.ndarray:
+    """(3, H, W) -> (4, H, W) with alpha == 1: the fallback for layer
+    structures whose warped alpha is not separable (rotation, wipe,
+    distinct-matrix dissolves).  A pad, off the 3-channel fast path."""
+    return jnp.pad(rgb3, ((0, 1), (0, 0), (0, 0)), constant_values=1.0)
+
+
+def _process_layer_rgb3(
+    lspec: LayerSpec, lparams: dict, spec: ChannelSpec, rgb: jnp.ndarray,
+    pre: dict | None, li: int | None,
+):
+    """3-channel layer fast path for opaque alpha-free rings: warp RGB
+    only and carry the separable warp alpha as (wy, wx) vectors
+    (pallas_warp.warp_alpha_vectors — exact for axis-aligned warps).
+    Returns (rgb (3,H,W), wy (H,), wx (W,)) or None when this layer's
+    structure needs a real alpha plane (caller pads alpha=1 and takes
+    the 4-channel path)."""
+    from ..ops.pallas_warp import warp_alpha_vectors, warp_fits
+
+    h, w = spec.height, spec.width
+    if not lspec.has_transform:
+        if lspec.transition != "none":
+            return None
+        return (rgb, jnp.ones((h,), jnp.float32), jnp.ones((w,), jnp.float32))
+    if lspec.transition == "dissolve" and not lspec.warp_same_mat:
+        # mix of two DIFFERENT warps: alpha is a sum of two outer
+        # products, not separable
+        return None
+    if lspec.transition not in ("none", "dissolve"):
+        return None
+    if not (
+        ENABLE_PALLAS_WARP
+        and spec.pallas_stages
+        and lspec.axis_aligned
+        and lspec.warp_bucket >= 0
+        and h % 8 == 0
+        and w % 128 == 0
+        and warp_fits(
+            h, w, lspec.warp_bucket, 1,
+            pair_buf=lspec.transition == "dissolve", n_ch=3,
+        )
+    ):
+        return None
+    mat = lparams["matrix"]
+    wy, wx = warp_alpha_vectors(h, w, mat)
+    if lspec.transition == "dissolve":
+        from ..ops.pallas_warp import make_warp_pair_program
+
+        fmt_b = lspec.src_b_format or lspec.src_format
+        rgb_b = _layer_source(lspec, fmt_b, lparams, "src_b", spec, pre, li)
+        if rgb_b.shape[-3] == 4:
+            rgb_b = rgb_b[:3]  # opaque contract: alpha == 1
+        pair = make_warp_pair_program(h, w, lspec.warp_bucket, True, n_ch=3)
+        return (pair(rgb, rgb_b, mat, mat, lparams["mix"]), wy, wx)
+    from ..ops.pallas_warp import make_warp_program
+
+    wp = make_warp_program(h, w, lspec.warp_bucket, n_ch=3)
+    return (wp(rgb, mat), wy, wx)
+
+
 def _process_layer(
     lspec: LayerSpec, lparams: dict, spec: ChannelSpec,
     pre: dict | None = None, li: int | None = None,
@@ -334,6 +396,13 @@ def _process_layer(
         return wp(lparams["src"][0], mat)
 
     rgba = _layer_source(lspec, lspec.src_format, lparams, "src", spec, pre, li)
+    if rgba.shape[-3] == 3:
+        # opaque alpha-free ring (shape-dispatch on what the runtime
+        # ring carries): separable-alpha fast path, else pad alpha=1
+        out3 = _process_layer_rgb3(lspec, lparams, spec, rgba, pre, li)
+        if out3 is not None:
+            return out3
+        rgba = _with_alpha_one(rgba)
 
     if lspec.transition == "dissolve" and lspec.has_transform and _use_pallas_warp(
         lspec, spec
@@ -343,6 +412,8 @@ def _process_layer(
 
         fmt_b = lspec.src_b_format or lspec.src_format
         rgba_b = _layer_source(lspec, fmt_b, lparams, "src_b", spec, pre, li)
+        if rgba_b.shape[-3] == 3:
+            rgba_b = _with_alpha_one(rgba_b)
         pair = make_warp_pair_program(
             spec.height, spec.width, lspec.warp_bucket, lspec.warp_same_mat
         )
@@ -357,6 +428,8 @@ def _process_layer(
 
         fmt_b = lspec.src_b_format or lspec.src_format
         rgba_b = _layer_source(lspec, fmt_b, lparams, "src_b", spec, pre, li)
+        if rgba_b.shape[-3] == 3:
+            rgba_b = _with_alpha_one(rgba_b)
         if pre is not None and (li, "mask") in pre:
             mask = pre[(li, "mask")]
         else:
@@ -376,6 +449,8 @@ def _process_layer(
 
     fmt_b = lspec.src_b_format or lspec.src_format
     rgba_b = _layer_source(lspec, fmt_b, lparams, "src_b", spec, pre, li)
+    if rgba_b.shape[-3] == 3:
+        rgba_b = _with_alpha_one(rgba_b)
     if lspec.has_transform:
         # src_b may carry its own rotation code (different quarter turn)
         lspec_b = (
@@ -661,6 +736,8 @@ def _channel_frame(spec: ChannelSpec, params: dict):
             _process_layer(ls, lp, spec, pre, li)
             for li, (ls, lp) in enumerate(zip(spec.layers, params["layers"]))
         ]
+        # 3-channel layers ride as (rgb, wy, wx) separable-alpha tuples
+        layer_chs = tuple(3 if isinstance(f, tuple) else 4 for f in layer_frames)
         # fused combine+pack tail: the XLA combine -> pack pair costs
         # two launches and a full RGBA round trip; one kernel does
         # over-accumulate + encode + spatial->phase gather (UHD/8K
@@ -671,15 +748,45 @@ def _channel_frame(spec: ChannelSpec, params: dict):
 
             if layer_frames and combine_pack_fits(w, h, len(layer_frames)):
                 pack_fn = make_v210_combine_pack(
-                    w, h, len(layer_frames), spec.out_col_spec
+                    w, h, len(layer_frames), spec.out_col_spec,
+                    layer_chs=layer_chs,
                 )
                 return [pack_fn(layer_frames)]
-        black = jnp.zeros((4, h, w), dtype=jnp.float32)  # Black generator
-        composited = combine([black] + layer_frames)
+        if 3 in layer_chs and spec.emit_rgba:
+            # routes/secondary consumers need a real RGBA frame:
+            # reconstruct alpha as the outer product (off the
+            # default SDI/file path, which never emits RGBA)
+            layer_frames = [
+                jnp.concatenate(
+                    [f[0], (f[1][:, None] * f[2][None, :])[None]], axis=0
+                )
+                if isinstance(f, tuple)
+                else f
+                for f in layer_frames
+            ]
+            layer_chs = (4,) * len(layer_frames)
+        if 3 in layer_chs:
+            from ..ops.composite import combine_rgb
+
+            # alpha-free combine: the pack never reads alpha, and the
+            # separable alphas fuse into the over chain as broadcasts
+            composited = combine_rgb(layer_frames)
+        else:
+            black = jnp.zeros((4, h, w), dtype=jnp.float32)  # Black generator
+            composited = combine([black] + layer_frames)
+    if composited.shape[0] == 3 and not (
+        spec.out_format == "v210" and spec.pallas_stages
+    ):
+        # non-v210 outputs keep their 4-channel pack kernels
+        composited = _with_alpha_one(composited)
     if spec.out_format == "v210" and spec.pallas_stages:
         from ..ops.pallas_kernels import make_v210_pack_rgba
 
-        packed = [make_v210_pack_rgba(w, h, spec.out_col_spec)(composited)]
+        packed = [
+            make_v210_pack_rgba(
+                w, h, spec.out_col_spec, channels=composited.shape[0]
+            )(composited)
+        ]
     elif spec.out_format in _PLANAR422 and spec.pallas_stages:
         from ..ops.pallas_kernels import make_planar422_pack_rgba
 
@@ -779,16 +886,27 @@ def make_channel_program(spec: ChannelSpec):
 
 @lru_cache(maxsize=None)
 def make_unpack_program(
-    fmt_name: str, width: int, height: int, col_spec: str, out_col_spec: str, gamma_mode: str = "analytic"
+    fmt_name: str, width: int, height: int, col_spec: str, out_col_spec: str,
+    gamma_mode: str = "analytic", channels: int = 4,
 ):
-    """Producer-side ToRGBA as its own jitted stage (io.ts:26-114)."""
+    """Producer-side ToRGBA as its own jitted stage (io.ts:26-114).
+
+    ``channels=3`` emits alpha-free (3, H, W) frames for opaque wire
+    formats (alpha would be the constant 1): the deinterlace ring, the
+    warp windows and the unpack write itself all drop a quarter of
+    their traffic (the 3-channel ring path of the channel program)."""
     fmt = get_format(fmt_name)
     loader = make_loader(fmt.INFO, col_spec, out_col_spec, gamma_mode)
 
     @jax.jit
     def program(planes):
         if fmt_name == "v210" and planes[0].ndim == 3:
-            from ..ops.pallas_kernels import make_v210_unpack_rgba, planes_to_words
+            from ..ops.pallas_kernels import (
+                batch_unpack_fits,
+                make_v210_unpack_rgba,
+                make_v210_unpack_rgba_batch,
+                planes_to_words,
+            )
 
             if (
                 jax.default_backend() == "tpu"
@@ -800,13 +918,22 @@ def make_unpack_program(
                 # below would pay the planes_to_words relayout AND the
                 # gather-heavy XLA decode ('lut' == 'analytic' gamma is
                 # bit-equal, tests/test_gamma.py, so analytic is safe)
+                if channels == 3 and batch_unpack_fits(width, height, 1):
+                    # n_srcs==1 takes the (4, H, G) word-plane array
+                    # directly and returns the single (3, H, W) frame
+                    return make_v210_unpack_rgba_batch(
+                        width, height, 1, col_spec, out_col_spec, channels=3
+                    )(planes[0])
                 return make_v210_unpack_rgba(
                     width, height, col_spec, out_col_spec
                 )(planes[0])
             # host-split word planes reaching the XLA path: restore the
             # interleaved form the format op expects
             planes = [planes_to_words(planes[0])]
-        return fio.to_rgba(fmt, planes, loader, width, height)
+        rgba = fio.to_rgba(fmt, planes, loader, width, height)
+        # off the Pallas route the 3-channel contract is kept by a
+        # slice (alpha is the constant 1 these unpacks emit)
+        return rgba[:3] if channels == 3 else rgba
 
     return program
 
@@ -888,13 +1015,14 @@ def make_yadif_program(tff: bool, skip_spatial: bool):
 
     @jax.jit
     def program(prev, cur, next_, parity):
+        ch = prev.shape[-3]
         h, w = prev.shape[-2:]
         if (
             ENABLE_PALLAS_YADIF
             and jax.default_backend() == "tpu"
-            and yadif_ring_fits(h, w)
+            and yadif_ring_fits(h, w, ch)
         ):
-            return make_yadif_ring_program(h, w, tff, skip_spatial)(
+            return make_yadif_ring_program(h, w, tff, skip_spatial, channels=ch)(
                 prev, cur, next_, parity
             )
         return yadif_frame(prev, cur, next_, parity, tff, skip_spatial)

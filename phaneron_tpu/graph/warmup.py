@@ -31,8 +31,12 @@ def _layer_struct(ls: LayerSpec, spec: ChannelSpec) -> dict:
     w, h = ls.src_size if ls.src_size else (spec.width, spec.height)
     params: dict = {}
     if ls.deinterlace:
+        # opaque wire sources ring as alpha-free (3, H, W) frames
+        # (runtime/layer.SourceSlot._pull_video) — the prediction must
+        # match or PLAY recompiles on the first live frame
+        nc = 3 if ls.src_opaque else 4
         params["src_ring"] = tuple(
-            jax.ShapeDtypeStruct((4, h, w), jnp.float32) for _ in range(3)
+            jax.ShapeDtypeStruct((nc, h, w), jnp.float32) for _ in range(3)
         )
         params["parity"] = jax.ShapeDtypeStruct((), jnp.int32)
     elif ls.src_format == "rgba_f32":
@@ -45,7 +49,17 @@ def _layer_struct(ls: LayerSpec, spec: ChannelSpec) -> dict:
             params["matrix_b"] = jax.ShapeDtypeStruct((3, 3), jnp.float32)
     if ls.transition == "dissolve":
         params["mix"] = jax.ShapeDtypeStruct((), jnp.float32)
-        params["src_b"] = _plane_structs(ls.src_b_format or ls.src_format, w, h)
+        if ls.deinterlace:
+            # a dissolve between two interlaced sources carries the
+            # second slot's ring (runtime/layer.py src_b_ring)
+            nc = 3 if ls.src_opaque else 4
+            params["src_b_ring"] = tuple(
+                jax.ShapeDtypeStruct((nc, h, w), jnp.float32) for _ in range(3)
+            )
+        else:
+            params["src_b"] = _plane_structs(
+                ls.src_b_format or ls.src_format, w, h
+            )
     elif ls.transition == "wipe":
         params["src_b"] = _plane_structs(ls.src_b_format or ls.src_format, w, h)
         params["mask"] = _plane_structs(ls.mask_format or ls.src_format, w, h)

@@ -12,6 +12,7 @@ import jax.numpy as jnp
 
 __all__ = [
     "combine",
+    "combine_rgb",
     "combine_masked",
     "dissolve",
     "wipe_mask",
@@ -52,6 +53,34 @@ def combine(layers: list[jnp.ndarray]) -> jnp.ndarray:
     out = layers[0]
     for layer in layers[1:]:
         out = _over(out, layer)
+    return out
+
+
+def combine_rgb(layers: list) -> jnp.ndarray:
+    """Premultiplied 'over' accumulation -> (3, H, W) RGB only.
+
+    Each layer is either a (4, H, W) RGBA frame or an
+    ``(rgb (3, H, W), wy (H,), wx (W,))`` tuple — an opaque warped
+    layer whose alpha is the SEPARABLE outer product wy[:, None] * wx
+    (pallas_warp.warp_alpha_vectors: an axis-aligned warp of the
+    constant-1 plane factorises exactly).  The black base is implicit
+    (over black = the layer itself); the result carries no alpha — for
+    v210/planar-out channels whose pack never reads it.  The broadcast
+    outer product fuses into the elementwise over chain (no alpha
+    plane ever materialises in HBM)."""
+    if not layers:
+        raise ValueError("combine_rgb requires at least one layer")
+
+    def split(entry):
+        if isinstance(entry, tuple):
+            rgb, wy, wx = entry
+            return rgb, wy[:, None] * wx[None, :]
+        return entry[:3], entry[3]
+
+    out, _ = split(layers[0])
+    for entry in layers[1:]:
+        rgb, a = split(entry)
+        out = out * (1.0 - a)[None, :, :] + rgb
     return out
 
 

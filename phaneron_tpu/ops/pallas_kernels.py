@@ -259,6 +259,7 @@ def _make_v210_spatial_unpack(
     out_col_spec: str,
     interpret: bool,
     n_srcs: int = 1,
+    channels: int = 4,
 ):
     """v210 word planes -> linear RGBA (4, H, W) in ONE kernel, with
     the phase->spatial deinterleave done on the MXU via constant
@@ -308,7 +309,9 @@ def _make_v210_spatial_unpack(
                 vals[1, q, :, :g] = (
                     (plane & 3).astype(jnp.float32).astype(jnp.bfloat16)
                 )
-            out_ref[3] = jnp.ones((r, width), jnp.float32)
+            if channels == 4:
+                out_ref[3] = jnp.ones((r, width), jnp.float32)
+            # channels == 3: opaque rings carry no alpha plane at all
 
             def deint(qs, base, w):
                 fh = jnp.concatenate(
@@ -347,11 +350,13 @@ def _make_v210_spatial_unpack(
             pl.BlockSpec((3, 72, 128), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((4, r, width), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec(
+                (channels, r, width), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            )
             for _ in range(n_srcs)
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((4, height, width), jnp.float32)
+            jax.ShapeDtypeStruct((channels, height, width), jnp.float32)
             for _ in range(n_srcs)
         ],
         scratch_shapes=[pltpu.VMEM((2, 12, r, g2), jnp.bfloat16)],
@@ -393,13 +398,16 @@ def make_v210_unpack_rgba_batch(
     col_spec: str = "709",
     out_col_spec: str = "709",
     interpret: bool | None = None,
+    channels: int = 4,
 ):
-    """fn([planes...] x n_srcs) -> [rgba (4,H,W)] x n_srcs, ONE launch.
-    Each entry is a (4, H, G) word-plane array list (host-split form)."""
+    """fn([planes...] x n_srcs) -> [rgba (C,H,W)] x n_srcs, ONE launch.
+    Each entry is a (4, H, G) word-plane array list (host-split form).
+    ``channels=3`` emits alpha-free opaque frames for the 3-channel
+    deinterlace/warp ring path."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     return _make_v210_spatial_unpack(
-        width, height, col_spec, out_col_spec, interpret, n_srcs
+        width, height, col_spec, out_col_spec, interpret, n_srcs, channels
     )
 
 
@@ -499,8 +507,11 @@ def make_v210_pack_rgba(
     out_col_spec: str = "709",
     rows_per_block: int = 16,
     interpret: bool | None = None,
+    channels: int = 4,
 ):
-    """Linear RGBA (4, H, W) -> v210 words as one Pallas kernel."""
+    """Linear RGBA (C, H, W) -> v210 words as one Pallas kernel.
+    ``channels=3`` packs an alpha-free composite (combine_rgb) — the
+    encode never reads alpha, so this just drops 1/4 of the input DMA."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     g = v210fmt.pitch(width) // 6
@@ -536,7 +547,9 @@ def make_v210_pack_rgba(
         kernel,
         grid=(height // r,),
         in_specs=[
-            pl.BlockSpec((4, 6, r, g), lambda i: (0, 0, i, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec(
+                (channels, 6, r, g), lambda i: (0, 0, i, 0), memory_space=pltpu.VMEM
+            )
         ],
         out_specs=[
             pl.BlockSpec((r, g), lambda i: (i, 0), memory_space=pltpu.VMEM)
@@ -547,12 +560,12 @@ def make_v210_pack_rgba(
     )
 
     def pack(rgba: jnp.ndarray) -> jnp.ndarray:
-        # spatial (4, H, W) -> pad to pitch -> (4, 6, H, G) phase layout
+        # spatial (C, H, W) -> pad to pitch -> (C, 6, H, G) phase layout
         pitch_px = g * 6
         pad = pitch_px - width
         if pad:
             rgba = jnp.pad(rgba, ((0, 0), (0, 0), (0, pad)))
-        phases = rgba.reshape(4, height, g, 6).transpose(0, 3, 1, 2)
+        phases = rgba.reshape(channels, height, g, 6).transpose(0, 3, 1, 2)
         outs = call(phases)
         return planes_to_words(jnp.stack(outs))
 
@@ -613,6 +626,7 @@ def make_v210_combine_pack(
     n_layers: int,
     out_col_spec: str = "709",
     interpret: bool | None = None,
+    layer_chs: tuple | None = None,
 ):
     """N-layer premultiplied 'over' + v210 pack in ONE kernel.
 
@@ -627,25 +641,42 @@ def make_v210_combine_pack(
     (UHD / 8K) and a VMEM bound over the layer count."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    if layer_chs is None:
+        layer_chs = (4,) * n_layers
+    assert len(layer_chs) == n_layers and all(c in (3, 4) for c in layer_chs)
     g = v210fmt.pitch(width) // 6
     r = _combine_pack_config(width, height, n_layers)
     assert r is not None, "caller gates on combine_pack_fits"
     col_bwd = _literals(cm.rgb2ycbcr_matrix(out_col_spec, 10, 64, 940, 896))
     _, l2g = _gamma_fns(out_col_spec, out_col_spec)
     n_gchunks = g // 128
+    # ref layout: per layer, the frame ref (+ wy (H, 1) and wx (1, W)
+    # separable-alpha refs for 3-channel opaque layers)
+    n_in = sum(1 if c == 4 else 3 for c in layer_chs)
 
     def kernel(*refs):
-        ins = refs[:n_layers]
-        w6_ref = refs[n_layers]
-        o0, o1, o2, o3 = refs[n_layers + 1 : n_layers + 5]
-        (codes,) = refs[n_layers + 5 :]
+        ins = refs[:n_in]
+        w6_ref = refs[n_in]
+        o0, o1, o2, o3 = refs[n_in + 1 : n_in + 5]
+        (codes,) = refs[n_in + 5 :]
 
         # ---- over-accumulate (acc starts at the black base = zeros)
-        first = ins[0][:, :, :]
-        rgb = [first[c] for c in range(3)]
-        for l in range(1, n_layers):
-            layer = ins[l][:, :, :]
-            k = 1.0 - layer[3]
+        rgb = None
+        pos = 0
+        for l in range(n_layers):
+            layer = ins[pos][:, :, :]
+            if layer_chs[l] == 3:
+                # separable alpha: a = wy (rows) x wx (cols), never a
+                # stored plane (pallas_warp.warp_alpha_vectors)
+                a = ins[pos + 1][:, :] * ins[pos + 2][:, :]
+                pos += 3
+            else:
+                a = layer[3]
+                pos += 1
+            if rgb is None:
+                rgb = [layer[c] for c in range(3)]
+                continue
+            k = 1.0 - a
             rgb = [rgb[c] * k + layer[c] for c in range(3)]
 
         # ---- encode on spatial tiles; 10-bit codes split as
@@ -687,13 +718,22 @@ def make_v210_combine_pack(
 
         jax.lax.fori_loop(0, n_gchunks, lambda c, _: (one_chunk(c), 0)[1], 0)
 
+    in_specs = []
+    for c in layer_chs:
+        in_specs.append(
+            pl.BlockSpec((c, r, width), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+        )
+        if c == 3:
+            in_specs.append(
+                pl.BlockSpec((r, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+            )
+            in_specs.append(
+                pl.BlockSpec((1, width), lambda i: (0, 0), memory_space=pltpu.VMEM)
+            )
     call = pl.pallas_call(
         kernel,
         grid=(height // r,),
-        in_specs=[
-            pl.BlockSpec((4, r, width), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
-            for _ in range(n_layers)
-        ]
+        in_specs=in_specs
         + [pl.BlockSpec((768, 768), lambda i: (0, 0), memory_space=pltpu.VMEM)],
         out_specs=[
             pl.BlockSpec((r, g), lambda i: (i, 0), memory_space=pltpu.VMEM)
@@ -706,10 +746,18 @@ def make_v210_combine_pack(
     w6_np = _v210_pack_weights(g)
 
     def combine_pack(frames: list) -> jnp.ndarray:
-        """frames: warped layer RGBA (4, H, W), bottom..top (the black
-        base is implicit).  -> interleaved v210 words (H, G*4)."""
+        """frames: warped layers bottom..top (black base implicit) —
+        (4, H, W) RGBA, or (rgb (3, H, W), wy (H,), wx (W,)) tuples for
+        layer_chs == 3 entries.  -> interleaved v210 words (H, G*4)."""
         w6 = jnp.asarray(w6_np, jnp.bfloat16)
-        outs = call(*frames, w6)
+        flat = []
+        for c, f in zip(layer_chs, frames):
+            if c == 3:
+                rgb, wy, wx = f
+                flat += [rgb, wy.reshape(height, 1), wx.reshape(1, width)]
+            else:
+                flat.append(f)
+        outs = call(*flat, w6)
         return planes_to_words(jnp.stack(outs))
 
     return combine_pack

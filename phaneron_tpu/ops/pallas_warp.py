@@ -57,6 +57,7 @@ __all__ = [
     "make_wipe_pair_program",
     "bucket_of",
     "warp_fits",
+    "warp_alpha_vectors",
     "BUCKET_BOUNDS",
 ]
 
@@ -102,6 +103,7 @@ def _config(
     with_mask: bool = False,
     cchunk: int = COL_CHUNK,
     pair_buf: bool = False,
+    n_ch: int = 4,
 ) -> _Cfg:
     bound, preferred = BUCKET_BOUNDS[bucket]
     # column window: bound*(cchunk-1) real taps + 2 bilinear + 127-lane
@@ -119,11 +121,11 @@ def _config(
         # pair_buf: the premix dissolve holds BOTH sources' windows so
         # source B streams behind source A's bf16 split (without it the
         # B DMA start+wait is fully exposed every block)
-        win = (2 if pair_buf else 1) * 4 * win_r * width * 4
-        win2 = 4 * 2 * win_r * width * 2
-        rows = 2 * 4 * rpb * width * 2
-        out = 2 * 4 * rpb * width * 4  # double-buffered output block
-        flat = 2 * 4 * rpb * win_c * 2
+        win = (2 if pair_buf else 1) * n_ch * win_r * width * 4
+        win2 = n_ch * 2 * win_r * width * 2
+        rows = 2 * n_ch * rpb * width * 2
+        out = 2 * n_ch * rpb * width * 4  # double-buffered output block
+        flat = 2 * n_ch * rpb * win_c * 2
         mask = 2 * rpb * width * 4 if with_mask else 0  # wipe mask block
         cw_slots = n_mat * n_chunks if persist else 1
         cw = cw_slots * 2 * win_c * cchunk * 2
@@ -162,6 +164,7 @@ def warp_fits(
     n_mat: int = 1,
     with_mask: bool = False,
     pair_buf: bool = False,
+    n_ch: int = 4,
 ) -> bool:
     """True when the warp kernel's scratch fits the VMEM budget for this
     geometry/bucket — callers gate Pallas-vs-XLA-gather on it.
@@ -170,10 +173,38 @@ def warp_fits(
     if bucket < 0:
         return False
     try:
-        _config(height, width, bucket, n_mat, with_mask, pair_buf=pair_buf)
+        _config(height, width, bucket, n_mat, with_mask, pair_buf=pair_buf, n_ch=n_ch)
         return True
     except ValueError:
         return False
+
+
+def warp_alpha_vectors(height: int, width: int, mat) -> tuple:
+    """(wy (H,), wx (W,)) f32 with warp(ones)(y, x) == wy[y] * wx[x].
+
+    An axis-aligned bilinear warp of the constant-1 plane is SEPARABLE:
+    each output pixel's alpha is (row-weight sum) x (column-weight sum)
+    — 1 in the projected interior, a bilinear feather at the quad edge,
+    0 outside (border-zero CLK_ADDRESS_CLAMP, ops.geometry).  Opaque
+    sources therefore never carry an alpha plane through yadif or the
+    warp ((3, H, W) rings); the combine rebuilds alpha as this outer
+    product, fused into its elementwise chain by XLA.  Weight formulas
+    match the kernel prologue exactly; the kernel's bf16 hi/lo dot adds
+    its usual ~2^-17 class on top of these f32 values."""
+    ix = (jnp.arange(width, dtype=jnp.float32) / width) - 0.5
+    iy = (jnp.arange(height, dtype=jnp.float32) / height) - 0.5
+    px = (mat[0, 0] * ix + mat[0, 2] + 0.5) * width - 0.5
+    py = (mat[1, 1] * iy + mat[1, 2] + 0.5) * height - 0.5
+
+    def weight_sum(p, size):
+        p0 = jnp.floor(p)
+        f = (p - p0).astype(jnp.float32)
+        p0i = p0.astype(jnp.int32)
+        w0 = jnp.where((p0i >= 0) & (p0i < size), 1.0 - f, 0.0)
+        w1 = jnp.where((p0i + 1 >= 0) & (p0i + 1 < size), f, 0.0)
+        return w0 + w1
+
+    return weight_sum(py, height), weight_sum(px, width)
 
 
 def bucket_of(*mats: np.ndarray) -> int:
@@ -210,9 +241,11 @@ def _make_program(
     _variant: str = "full",
     pair_mode: str = "dissolve",
     cchunk: int | None = None,
+    n_ch: int = 4,
 ):
     assert width % COL_CHUNK == 0, "caller gates on width % 128 (pipeline._pick_warp)"
     assert n_src in (1, 2) and n_mat in (1, n_src)
+    assert n_ch in (3, 4)  # 3: opaque rings carry no alpha plane
     mixing = n_src == 2
     wipe = mixing and pair_mode == "wipe"
     if cchunk is None:
@@ -227,7 +260,7 @@ def _make_program(
         try:
             _config(
                 height, width, bucket, n_mat,
-                with_mask=wipe, cchunk=cand, pair_buf=premix,
+                with_mask=wipe, cchunk=cand, pair_buf=premix, n_ch=n_ch,
             )
         except ValueError:
             continue
@@ -237,7 +270,7 @@ def _make_program(
         cchunk = COL_CHUNK
     rpb, win_r, win_c, persist_cw = _config(
         height, width, bucket, n_mat,
-        with_mask=wipe, cchunk=cchunk, pair_buf=premix,
+        with_mask=wipe, cchunk=cchunk, pair_buf=premix, n_ch=n_ch,
     )
     n_blocks = height // rpb
     n_chunks = width // cchunk
@@ -330,7 +363,7 @@ def _make_program(
             # ---- row pass: rows = rw @ win per channel on the MXU
             rwh, rwl = row_weights(m)
             if _variant != "cols":
-                for c in range(4):
+                for c in range(n_ch):
                     rows = (
                         jnp.dot(rwh, win2[0, c], preferred_element_type=jnp.float32)
                         + jnp.dot(rwl, win2[0, c], preferred_element_type=jnp.float32)
@@ -359,13 +392,13 @@ def _make_program(
                 c0 = pl.multiple_of(col_off_ref[m, j], 128)
                 flat2[0, :, :, :] = rows2[0, :, :, pl.ds(c0, win_c)]
                 flat2[1, :, :, :] = rows2[1, :, :, pl.ds(c0, win_c)]
-                fh = flat2[0].reshape(4 * rpb, win_c)
-                fl = flat2[1].reshape(4 * rpb, win_c)
+                fh = flat2[0].reshape(n_ch * rpb, win_c)
+                fl = flat2[1].reshape(n_ch * rpb, win_c)
                 chunk = (
                     jnp.dot(fh, cw[store, 0], preferred_element_type=jnp.float32)
                     + jnp.dot(fl, cw[store, 0], preferred_element_type=jnp.float32)
                     + jnp.dot(fh, cw[store, 1], preferred_element_type=jnp.float32)
-                ).reshape(4, rpb, cchunk)
+                ).reshape(n_ch, rpb, cchunk)
                 if wipe:
                     # wipe masks in OUTPUT space (transition.ts:66-74):
                     # out = warp(a)*(1-m) + warp(b)*m per pixel
@@ -394,7 +427,7 @@ def _make_program(
             implement the PREMIX dissolve: win2 = a*mix + b*(1-mix)."""
             if buf is None:
                 buf = winbuf
-            for c in range(4):
+            for c in range(n_ch):
                 val = buf[c]
                 if gain is not None:
                     val = val * gain
@@ -420,7 +453,7 @@ def _make_program(
                 return
 
             if _variant == "cols":
-                for c in range(4):
+                for c in range(n_ch):
                     vh, vl = _hi_lo(winbuf[c, :rpb, :])
                     rows2[0, c] = vh
                     rows2[1, c] = vl
@@ -480,14 +513,14 @@ def _make_program(
         )
         + [pl.BlockSpec(memory_space=pl.ANY) for _ in range(n_src)],  # srcs in HBM
         out_specs=pl.BlockSpec(
-            (4, rpb, width), lambda i, *_: (0, i, 0), memory_space=pltpu.VMEM
+            (n_ch, rpb, width), lambda i, *_: (0, i, 0), memory_space=pltpu.VMEM
         ),
-        scratch_shapes=[pltpu.VMEM((4, win_r, width), jnp.float32)]
-        + ([pltpu.VMEM((4, win_r, width), jnp.float32)] if premix else [])
+        scratch_shapes=[pltpu.VMEM((n_ch, win_r, width), jnp.float32)]
+        + ([pltpu.VMEM((n_ch, win_r, width), jnp.float32)] if premix else [])
         + [
-            pltpu.VMEM((2, 4, win_r, width), jnp.bfloat16),
-            pltpu.VMEM((2, 4, rpb, width), jnp.bfloat16),
-            pltpu.VMEM((2, 4, rpb, win_c), jnp.bfloat16),
+            pltpu.VMEM((2, n_ch, win_r, width), jnp.bfloat16),
+            pltpu.VMEM((2, n_ch, rpb, width), jnp.bfloat16),
+            pltpu.VMEM((2, n_ch, rpb, win_c), jnp.bfloat16),
             pltpu.VMEM(
                 ((n_mat * n_chunks if persist_cw else 1), 2, win_c, cchunk),
                 jnp.bfloat16,
@@ -499,7 +532,7 @@ def _make_program(
     call = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((4, height, width), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_ch, height, width), jnp.float32),
         interpret=interpret,
     )
 
@@ -575,16 +608,21 @@ def make_warp_program(
     interpret: bool | None = None,
     _variant: str = "full",
     cchunk: int | None = None,
+    n_ch: int = 4,
 ):
-    """fn(src (4,H,W) f32, mat (3,3) f32) -> (4,H,W) f32.
+    """fn(src (C,H,W) f32, mat (3,3) f32) -> (C,H,W) f32 (C = n_ch).
 
     ``bucket`` must come from bucket_of(mat) (static); ``width`` must be
     a multiple of 128 (lane-aligned column windows).  ``_variant``
     selects ablated kernels ('dma', 'rows', 'cols') for perf isolation
-    (tools/warp_ablate.py) — production always uses 'full'."""
+    (tools/warp_ablate.py) — production always uses 'full'.  ``n_ch=3``
+    warps alpha-free opaque rings; the warped alpha is the separable
+    warp_alpha_vectors() outer product."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    return _make_program(height, width, bucket, 1, 1, interpret, _variant, cchunk=cchunk)
+    return _make_program(
+        height, width, bucket, 1, 1, interpret, _variant, cchunk=cchunk, n_ch=n_ch
+    )
 
 
 def make_warp_pair_program(
@@ -594,17 +632,20 @@ def make_warp_pair_program(
     same_mat: bool = True,
     interpret: bool | None = None,
     cchunk: int | None = None,
+    n_ch: int = 4,
 ):
     """Fused dissolve pair: fn(src_a, src_b, mat_a, mat_b, mix) ->
     warp(src_a)*mix + warp(src_b)*(1-mix), one kernel launch.
 
     ``same_mat`` (static, from LayerSpec) shares the weight tables when
     both sources carry the same transform — the common case during a
-    transition."""
+    transition.  ``n_ch=3``: alpha-free opaque rings (see
+    make_warp_program)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     return _make_program(
-        height, width, bucket, 2, 1 if same_mat else 2, interpret, cchunk=cchunk
+        height, width, bucket, 2, 1 if same_mat else 2, interpret,
+        cchunk=cchunk, n_ch=n_ch,
     )
 
 

@@ -64,7 +64,7 @@ class _Cfg(NamedTuple):
     dbl: bool  # double-buffered windows (block i+1 streams behind i)
 
 
-def _config(height: int, width: int) -> _Cfg | None:
+def _config(height: int, width: int, channels: int = 4) -> _Cfg | None:
     """Cheapest feasible (double-buffered?, rows-per-block) plan.
 
     kb is any multiple of 8: the grid is ceil(hh/kb) blocks and the
@@ -73,16 +73,18 @@ def _config(height: int, width: int) -> _Cfg | None:
     (k0 - 8) provably 8-aligned and the tap base a single static 8.
     Window accounting: 17 channel planes of kb+16 rows (cur carries 4
     channels in both fields, prev/next 3 in one field each + one of
-    them 3 more in q); the Mosaic stack is modelled as STACK_TILES live
-    (kb, W) tiles.  Cost = halo read amplification, with a 1.3x penalty
-    for single-buffered windows (DMA stalls unoverlapped)."""
+    them 3 more in q) — 15 for 3-channel rings (opaque sources carry
+    no alpha plane at all); the Mosaic stack is modelled as STACK_TILES
+    live (kb, W) tiles.  Cost = halo read amplification, with a 1.3x
+    penalty for single-buffered windows (DMA stalls unoverlapped)."""
     hh = height // 2
+    planes = 2 * channels + 9  # cur par+q windows carry `channels` each
     best = None
     best_cost = None
     for dbl in (True, False):
         for kb in range(8, hh // 2 + 1, 8):
-            win = 17 * (kb + 16) * width * 4
-            out = 2 * 4 * kb * 2 * width * 4  # pallas double-buffers out
+            win = planes * (kb + 16) * width * 4
+            out = 2 * channels * kb * 2 * width * 4  # pallas double-buffers out
             stack = STACK_TILES * kb * width * 4
             if (2 if dbl else 1) * win + out + stack > VMEM_BUDGET:
                 continue
@@ -92,12 +94,12 @@ def _config(height: int, width: int) -> _Cfg | None:
     return best
 
 
-def yadif_ring_fits(height: int, width: int) -> bool:
+def yadif_ring_fits(height: int, width: int, channels: int = 4) -> bool:
     return (
         width % 128 == 0
         and height % 8 == 0
         and height >= 32
-        and _config(height, width) is not None
+        and _config(height, width, channels) is not None
     )
 
 
@@ -190,8 +192,10 @@ def _make_kernel(
     skip_spatial: bool,
     interpret: bool,
     opaque: bool = False,
+    channels: int = 4,
 ):
-    cfg = _config(height, width)
+    assert channels in (3, 4)
+    cfg = _config(height, width, channels)
     assert cfg is not None, "caller gates on yadif_ring_fits"
     kb, dbl = cfg
     hh = height // 2
@@ -208,8 +212,11 @@ def _make_kernel(
     W = width
     # opaque sources (every non-RGB unpack emits alpha == 1): skip the
     # alpha channel's windows and write constant 1 — ~1/4 less cur
-    # traffic and VMEM for the interlaced default load's v210 sources
-    nc = 3 if opaque else 4
+    # traffic and VMEM for the interlaced default load's v210 sources.
+    # channels == 3: the ring frames carry NO alpha plane at all
+    # ((3, H, W) in and out) — the 1/4 saving extends to the output
+    # write and to every downstream window of the yadif result
+    nc = 3 if (opaque or channels == 3) else 4
 
     # ---- window plan.  Block i needs plane rows [k0-1, k0+kb]
     # (k0 = i*kb).  Because kb % 8 == 0, every interior window can DMA
@@ -338,7 +345,7 @@ def _make_kernel(
         def body(base):
             # window row of plane row j (relative to the block's first
             # predicted row): par windows and q windows share the plan
-            for ch in range(4):
+            for ch in range(channels):
                 if ch == 3:
                     if opaque:
                         # alpha is the constant-1 plane every non-RGB
@@ -429,7 +436,7 @@ def _make_kernel(
         grid=(n_blocks,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY) for _ in range(6)],
         out_specs=pl.BlockSpec(
-            (4, kb, 2 * W), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            (channels, kb, 2 * W), lambda i: (0, i, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
             pltpu.VMEM((slots, 3, alloc, W), jnp.float32),
@@ -445,12 +452,12 @@ def _make_kernel(
     call = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((4, hh, 2 * W), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((channels, hh, 2 * W), jnp.float32),
         interpret=interpret,
     )
 
     def run(prev, cur, next_):
-        planes = [x.reshape(4, hh, 2 * W) for x in (prev, cur, next_)]
+        planes = [x.reshape(channels, hh, 2 * W) for x in (prev, cur, next_)]
         if rem:
             auxes = [
                 jnp.pad(x[:, hh - rem :, :], ((0, 0), (0, 8 - rem), (0, 0)))
@@ -459,7 +466,7 @@ def _make_kernel(
         else:
             auxes = [x[:, hh - 8 :, :] for x in planes]
         out = call(*planes, *auxes)
-        return out.reshape(4, height, W)
+        return out.reshape(channels, height, W)
 
     return run
 
@@ -472,19 +479,27 @@ def make_yadif_ring_program(
     skip_spatial: bool = False,
     interpret: bool | None = None,
     opaque: bool = False,
+    channels: int = 4,
 ):
-    """fn(prev, cur, next_ (4,H,W) f32, parity traced int32) -> (4,H,W).
+    """fn(prev, cur, next_ (C,H,W) f32, parity traced int32) -> (C,H,W).
 
     Drop-in for ops.yadif.yadif_frame on geometries where
     yadif_ring_fits; parity stays traced via a two-way lax.cond over
     the static-parity kernels.  ``opaque`` asserts the ring's alpha is
     the constant 1 every non-RGB unpack produces — the kernel then
     writes 1 instead of windowing cur's alpha (bit-identical on such
-    rings, ~1/4 less cur traffic)."""
+    rings, ~1/4 less cur traffic).  ``channels=3`` takes that further:
+    the ring frames carry no alpha plane at all ((3, H, W) in/out,
+    bit-identical to the 4-channel result's RGB planes), dropping the
+    alpha write and every downstream window of the result by 1/4."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    k0 = _make_kernel(height, width, 0, tff, skip_spatial, interpret, opaque)
-    k1 = _make_kernel(height, width, 1, tff, skip_spatial, interpret, opaque)
+    k0 = _make_kernel(
+        height, width, 0, tff, skip_spatial, interpret, opaque, channels
+    )
+    k1 = _make_kernel(
+        height, width, 1, tff, skip_spatial, interpret, opaque, channels
+    )
 
     def program(prev, cur, next_, parity):
         parity = jnp.asarray(parity, dtype=jnp.int32)

@@ -153,8 +153,10 @@ def _yadif_full(
     L = sv(next_, 1)
 
     pred = _temporal_clamp(A, B, C, D, E, F, G, H, I, J, K, L, spatial, skip_spatial)
-    # Alpha passes through from cur (yadifCl.ts:163-164)
-    pred = pred.at[3].set(cur[3])
+    if cur.shape[0] == 4:
+        # Alpha passes through from cur (yadifCl.ts:163-164)
+        pred = pred.at[3].set(cur[3])
+    # 3-channel frames (opaque alpha-free rings) have no alpha to carry
 
     rows = jnp.arange(cur.shape[-2], dtype=jnp.int32)[None, :, None]
     keep = (rows % 2) == parity
@@ -177,14 +179,14 @@ def _yadif_half(
     an interior row is in range, so the in-plane edge clamps never
     fire); the first/last row pair — where frame-edge clamping crosses
     field planes — is replaced by `_yadif_full` strips."""
-    _, h, w = cur.shape
+    nc, h, w = cur.shape
     kh = h // 2
     q = 1 - par  # the missing (predicted) field's plane index
     is_second = (par ^ int(tff)) == 0  # static here (yadifCl.ts:144)
 
-    p4 = prev.reshape(4, kh, 2, w)
-    c4 = cur.reshape(4, kh, 2, w)
-    n4 = next_.reshape(4, kh, 2, w)
+    p4 = prev.reshape(nc, kh, 2, w)
+    c4 = cur.reshape(nc, kh, 2, w)
+    n4 = next_.reshape(nc, kh, 2, w)
     cp, cq = c4[:, :, par, :], c4[:, :, q, :]
     pp, pq = p4[:, :, par, :], p4[:, :, q, :]
     xp, xq = n4[:, :, par, :], n4[:, :, q, :]
@@ -220,7 +222,8 @@ def _yadif_half(
     K, L = up1(xp), dn1(xp)
 
     pred = _temporal_clamp(A, B, C, D, E, F, G, H, I, J, K, L, spatial, skip_spatial)
-    pred = pred.at[3].set(cq[3])  # alpha from cur (yadifCl.ts:163-164)
+    if nc == 4:
+        pred = pred.at[3].set(cq[3])  # alpha from cur (yadifCl.ts:163-164)
 
     # assemble: kept plane from cur, predicted plane from pred — a
     # broadcast channel-index select, never a stack/concat (fusion rule)
@@ -236,9 +239,9 @@ def _yadif_half(
         par, tff, skip_spatial,
     )[:, _STRIP - 2 :]
     kk = jax.lax.broadcasted_iota(jnp.int32, (1, kh, 1, 1), 1)
-    out = jnp.where(kk == 0, top.reshape(4, 1, 2, w), out)
-    out = jnp.where(kk == kh - 1, bot.reshape(4, 1, 2, w), out)
-    return out.reshape(4, h, w)
+    out = jnp.where(kk == 0, top.reshape(nc, 1, 2, w), out)
+    out = jnp.where(kk == kh - 1, bot.reshape(nc, 1, 2, w), out)
+    return out.reshape(nc, h, w)
 
 
 def yadif_frame(

@@ -94,6 +94,17 @@ class SourceSlot:
         self.frames_seen += 1
         if frame.interlaced:
             if self._unpack is None and frame.format != RGBA_F32:
+                from ..ops.formats import get_format
+
+                # opaque wire formats (alpha == the constant 1) ring as
+                # alpha-free (3, H, W) frames: yadif, the warp windows
+                # and the unpack write each drop 1/4 of their traffic,
+                # and the combine rebuilds the warped alpha as a
+                # separable outer product (pipeline._process_layer_rgb3)
+                try:
+                    opaque = not get_format(frame.format).INFO.is_rgb
+                except KeyError:
+                    opaque = False
                 self._unpack = make_unpack_program(
                     frame.format,
                     frame.width,
@@ -101,6 +112,7 @@ class SourceSlot:
                     self.col_spec,
                     self.col_spec,
                     self.gamma_mode,
+                    channels=3 if opaque else 4,
                 )
             rgba = frame.payload if frame.format == RGBA_F32 else self._unpack(frame.payload)
             self.ring.append(rgba)
