@@ -53,7 +53,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["make_yadif_ring_program", "yadif_ring_fits"]
+__all__ = [
+    "make_yadif_ring_program",
+    "yadif_ring_fits",
+    "make_yadif_pair_program",
+    "yadif_pair_fits",
+]
 
 VMEM_BUDGET = 15 * 1024 * 1024  # total incl. the modelled Mosaic stack
 STACK_TILES = 24  # live (kb, W) f32 temporaries the predictor peaks at
@@ -506,3 +511,315 @@ def make_yadif_ring_program(
         return jax.lax.cond(parity == 0, k0, k1, prev, cur, next_)
 
     return program
+
+
+# ---------------------------------------------------------------------------
+# Two-field pair kernel: both field ticks of a frame period from ONE
+# ring read.  Interlaced sources emit two output fields per incoming
+# frame (yadifCl.ts send_field cadence; ffmpegProducer.ts:557-566) and
+# both predictions read the SAME three ring frames — only the parity
+# wiring differs.  The union of the two single-field kernels' windows
+# is exactly all six (tensor, field) half-planes, so one window plan
+# serves both predictors: 18 half-plane reads per pair of fields where
+# two single-field launches read 30 (3-channel rings), the one-row
+# patch DMA disappears (every tap plane is windowed), and one launch
+# replaces two.  Outputs are bit-identical to make_yadif_ring_program
+# at parity 0 and 1.
+# ---------------------------------------------------------------------------
+
+
+def _pair_config(height: int, width: int, channels: int = 4) -> _Cfg | None:
+    """Same cost model as _config for the six-window pair plan:
+    prev/next carry 3 channels per field, cur carries `channels` per
+    field; two double-buffered outputs."""
+    hh = height // 2
+    planes = 4 * 3 + 2 * channels
+    best = None
+    best_cost = None
+    for dbl in (True, False):
+        for kb in range(8, hh // 2 + 1, 8):
+            win = planes * (kb + 16) * width * 4
+            out = 2 * 2 * channels * kb * 2 * width * 4
+            stack = STACK_TILES * kb * width * 4
+            if (2 if dbl else 1) * win + out + stack > VMEM_BUDGET:
+                continue
+            cost = (kb + 16) / kb * (1.0 if dbl else 1.3)
+            if best_cost is None or cost < best_cost:
+                best, best_cost = _Cfg(kb, dbl), cost
+    return best
+
+
+def yadif_pair_fits(height: int, width: int, channels: int = 4) -> bool:
+    return (
+        width % 128 == 0
+        and height % 8 == 0
+        and height >= 32
+        and _pair_config(height, width, channels) is not None
+    )
+
+
+@lru_cache(maxsize=None)
+def _make_pair_kernel(
+    height: int,
+    width: int,
+    tff: bool,
+    skip_spatial: bool,
+    interpret: bool,
+    opaque: bool = False,
+    channels: int = 4,
+):
+    assert channels in (3, 4)
+    cfg = _pair_config(height, width, channels)
+    assert cfg is not None, "caller gates on yadif_pair_fits"
+    kb, dbl = cfg
+    hh = height // 2
+    n_blocks = -(-hh // kb)
+    assert n_blocks >= 2
+    alloc = kb + 16
+    slots = 2 if dbl else 1
+    W = width
+    nc = 3 if (opaque or channels == 3) else 4
+    # window plan constants: identical three static DMA variants as the
+    # single-field kernel (see its header for the alignment argument)
+    len_first = min(kb + 8, hh)
+    k0_last = (n_blocks - 1) * kb
+    w0_last = k0_last - 8
+    rem = hh % 8
+    assert rem in (0, 4)
+    len_bulk = hh - rem - w0_last
+    assert 0 < len_bulk <= alloc and len_bulk % 8 == 0 and w0_last % 8 == 0
+    BASE = 8
+
+    def kernel(prev_ref, cur_ref, next_ref, aux_p, aux_c, aux_n,
+               out0_ref, out1_ref, wp0, wp1, wc0, wc1, wn0, wn1, sem):
+        i = pl.program_id(0)
+        tensors = (prev_ref, cur_ref, next_ref)
+        auxes = (aux_p, aux_c, aux_n)
+        wins = ((wp0, wp1), (wc0, wc1), (wn0, wn1))
+        plan = (
+            (wp0, 0, 3, 0), (wp1, 0, 3, 1),
+            (wc0, 1, nc, 0), (wc1, 1, nc, 1),
+            (wn0, 2, 3, 0), (wn1, 2, 3, 1),
+        )
+
+        def copies(kind, block):
+            if kind == "first":
+                srow, drow = pl.ds(0, len_first), pl.ds(8, len_first)
+            elif kind == "mid":
+                w0 = pl.multiple_of(block * kb - 8, 8)
+                srow, drow = pl.ds(w0, kb + 16), pl.ds(0, kb + 16)
+            else:
+                srow, drow = pl.ds(w0_last, len_bulk), pl.ds(0, len_bulk)
+            cps = [
+                pltpu.make_async_copy(
+                    tensors[t].at[0:nch, srow, f * W : (f + 1) * W],
+                    buf.at[block % slots, :, drow, :],
+                    sem,
+                )
+                for buf, t, nch, f in plan
+            ]
+            if kind == "last" and rem:
+                cps += [
+                    pltpu.make_async_copy(
+                        auxes[t].at[0:nch, pl.ds(0, 8), f * W : (f + 1) * W],
+                        buf.at[block % slots, :, pl.ds(len_bulk, 8), :],
+                        sem,
+                    )
+                    for buf, t, nch, f in plan
+                ]
+            return cps
+
+        def drive(block, op):
+            @pl.when(block == 0)
+            def _f():
+                for c in copies("first", block):
+                    op(c)
+
+            if n_blocks > 2:
+
+                @pl.when((block > 0) & (block < n_blocks - 1))
+                def _m():
+                    for c in copies("mid", block):
+                        op(c)
+
+            @pl.when(block == n_blocks - 1)
+            def _l():
+                for c in copies("last", block):
+                    op(c)
+
+        if dbl:
+
+            @pl.when(i == 0)
+            def _first():
+                drive(0, lambda c: c.start())
+
+            drive(i, lambda c: c.wait())
+
+            @pl.when(i + 1 < n_blocks)
+            def _next():
+                drive(i + 1, lambda c: c.start())
+
+        else:
+            drive(i, lambda c: c.start())
+            drive(i, lambda c: c.wait())
+
+        slot = i % slots
+
+        def body(p):
+            # parity-p field tick: predict field q = 1-p, keep field p
+            q = 1 - p
+            is_second = (p ^ int(tff)) == 0
+            tC = 1 if is_second else 0
+            tH = 2 if is_second else 1
+            out_ref = (out0_ref, out1_ref)[p]
+            wp_par, wc_par, wn_par = wins[0][p], wins[1][p], wins[2][p]
+            for ch in range(channels):
+                if ch == 3:
+                    if opaque:
+                        out_ref[3, :, :] = jnp.ones((kb, 2 * W), jnp.float32)
+                        continue
+                    out_ref[3, :, q * W : (q + 1) * W] = wins[1][q][
+                        slot, 3, BASE : BASE + kb, :
+                    ]
+                    out_ref[3, :, p * W : (p + 1) * W] = wc_par[
+                        slot, 3, BASE : BASE + kb, :
+                    ]
+                    continue
+
+                def par_tap(buf, d, ch=ch, q=q):
+                    r = BASE + q - 1 + (d + 1) // 2
+                    return buf[slot, ch, r : r + kb, :]
+
+                def q_tap(t, d, ch=ch, q=q):
+                    r = BASE + d
+                    return wins[t][q][slot, ch, r : r + kb, :]
+
+                cu, cd = par_tap(wc_par, -1), par_tap(wc_par, 1)
+                spatial = _spatial(cu, cd, W)
+                pred = _temporal(
+                    par_tap(wp_par, -1), par_tap(wp_par, 1),
+                    q_tap(tC, -1), q_tap(tC, 0), q_tap(tC, 1),
+                    cu, cd,
+                    q_tap(tH, -1), q_tap(tH, 0), q_tap(tH, 1),
+                    par_tap(wn_par, -1), par_tap(wn_par, 1),
+                    spatial, skip_spatial,
+                )
+                out_ref[ch, :, q * W : (q + 1) * W] = pred
+                out_ref[ch, :, p * W : (p + 1) * W] = wc_par[
+                    slot, ch, BASE : BASE + kb, :
+                ]
+
+        body(0)
+        body(1)
+
+        def fix_row(p, k_local, k0):
+            # the one predicted row per frame edge whose row taps clamp;
+            # every tap plane is windowed here, so no patch DMA
+            q = 1 - p
+            is_second = (p ^ int(tff)) == 0
+            tC = 1 if is_second else 0
+            tH = 2 if is_second else 1
+            out_ref = (out0_ref, out1_ref)[p]
+            y = 2 * (k0 + k_local) + q
+
+            def ctap(t, ch, d):
+                g = min(max(y + d, 0), height - 1)
+                f, j = g % 2, g // 2
+                r = BASE + (j - k0)
+                return wins[t][f][slot, ch, r : r + 1, :]
+
+            for ch in range(3):
+                ccu, ccd = ctap(1, ch, -1), ctap(1, ch, 1)
+                sp = _spatial(ccu, ccd, W)
+                pr = _temporal(
+                    ctap(0, ch, -1), ctap(0, ch, 1),
+                    ctap(tC, ch, -2), ctap(tC, ch, 0), ctap(tC, ch, 2),
+                    ccu, ccd,
+                    ctap(tH, ch, -2), ctap(tH, ch, 0), ctap(tH, ch, 2),
+                    ctap(2, ch, -1), ctap(2, ch, 1),
+                    sp, skip_spatial,
+                )
+                out_ref[ch, k_local : k_local + 1, q * W : (q + 1) * W] = pr
+
+        @pl.when(i == 0)
+        def _top():
+            fix_row(0, 0, 0)
+            fix_row(1, 0, 0)
+
+        @pl.when(i == n_blocks - 1)
+        def _bottom():
+            fix_row(0, hh - 1 - k0_last, k0_last)
+            fix_row(1, hh - 1 - k0_last, k0_last)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n_blocks,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY) for _ in range(6)],
+        out_specs=[
+            pl.BlockSpec(
+                (channels, kb, 2 * W), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (channels, kb, 2 * W), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((slots, 3, alloc, W), jnp.float32),
+            pltpu.VMEM((slots, 3, alloc, W), jnp.float32),
+            pltpu.VMEM((slots, nc, alloc, W), jnp.float32),
+            pltpu.VMEM((slots, nc, alloc, W), jnp.float32),
+            pltpu.VMEM((slots, 3, alloc, W), jnp.float32),
+            pltpu.VMEM((slots, 3, alloc, W), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((channels, hh, 2 * W), jnp.float32),
+            jax.ShapeDtypeStruct((channels, hh, 2 * W), jnp.float32),
+        ],
+        interpret=interpret,
+    )
+
+    def run(prev, cur, next_):
+        planes = [x.reshape(channels, hh, 2 * W) for x in (prev, cur, next_)]
+        if rem:
+            auxes = [
+                jnp.pad(x[:, hh - rem :, :], ((0, 0), (0, 8 - rem), (0, 0)))
+                for x in planes
+            ]
+        else:
+            auxes = [x[:, hh - 8 :, :] for x in planes]
+        o0, o1 = call(*planes, *auxes)
+        return (
+            o0.reshape(channels, height, W),
+            o1.reshape(channels, height, W),
+        )
+
+    return run
+
+
+@lru_cache(maxsize=None)
+def make_yadif_pair_program(
+    height: int,
+    width: int,
+    tff: bool,
+    skip_spatial: bool = False,
+    interpret: bool | None = None,
+    opaque: bool = False,
+    channels: int = 4,
+):
+    """fn(prev, cur, next_ (C,H,W) f32) -> (out_parity0, out_parity1).
+
+    Both outputs are bit-identical to make_yadif_ring_program at
+    parity 0 / 1 on the same ring; one launch and one ring read serve
+    both field ticks of the frame period (the yadifCl.ts send_field
+    cadence).  Callers order the pair by tff: the FIRST emitted field's
+    parity is 0 when tff else 1 (runtime/layer.py parity law)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    return _make_pair_kernel(
+        height, width, tff, skip_spatial, interpret, opaque, channels
+    )

@@ -4,7 +4,12 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from phaneron_tpu.ops.pallas_yadif import make_yadif_ring_program, yadif_ring_fits
+from phaneron_tpu.ops.pallas_yadif import (
+    make_yadif_pair_program,
+    make_yadif_ring_program,
+    yadif_pair_fits,
+    yadif_ring_fits,
+)
 from phaneron_tpu.ops.yadif import yadif_frame
 
 
@@ -73,6 +78,45 @@ def test_keep_rows_bit_exact():
     out = np.asarray(prog(prev, cur, nxt, jnp.int32(0)))
     assert np.array_equal(out[:, 0::2, :], np.asarray(cur)[:, 0::2, :])
     assert np.array_equal(out[3], np.asarray(cur)[3])
+
+
+@pytest.mark.parametrize("h,w", [(96, 128), (120, 256)])
+@pytest.mark.parametrize("tff", [True, False])
+@pytest.mark.parametrize("channels", [4, 3])
+def test_pair_bit_equals_single(h, w, tff, channels):
+    """The two-field pair kernel must be bit-identical to the
+    single-field kernel at parity 0 AND 1 on the same ring."""
+    assert yadif_pair_fits(h, w, channels)
+    single = make_yadif_ring_program(h, w, tff, interpret=True, channels=channels)
+    pair = make_yadif_pair_program(h, w, tff, interpret=True, channels=channels)
+    rng = np.random.default_rng(17)
+    prev, cur, nxt = (
+        jnp.asarray(rng.random((channels, h, w), dtype=np.float32))
+        for _ in range(3)
+    )
+    o0, o1 = pair(prev, cur, nxt)
+    for parity, got in ((0, o0), (1, o1)):
+        exp = np.asarray(single(prev, cur, nxt, jnp.int32(parity)))
+        assert np.array_equal(np.asarray(got), exp), (
+            parity,
+            np.abs(np.asarray(got) - exp).max(),
+        )
+
+
+def test_pair_opaque_bit_equals_full():
+    h, w = 96, 128
+    rng = np.random.default_rng(23)
+
+    def ring_frame():
+        f = rng.random((4, h, w), dtype=np.float32)
+        f[3] = 1.0
+        return jnp.asarray(f)
+
+    prev, cur, nxt = (ring_frame() for _ in range(3))
+    full = make_yadif_pair_program(h, w, True, interpret=True)
+    opaq = make_yadif_pair_program(h, w, True, interpret=True, opaque=True)
+    for a, b in zip(full(prev, cur, nxt), opaq(prev, cur, nxt)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_fits_gate():
