@@ -84,17 +84,28 @@ class SDIConsumer(Consumer):
         self._displayed += 1
 
     async def _wait_hw(self) -> None:
-        """Software genlock (macadamConsumer.ts:174-197): sleep until this
+        """Software genlock (macadamConsumer.ts:174-197): wait until this
         frame's slot on the backend's hardware clock; count (and never
-        block on) frames that miss their slot by more than a period."""
+        block on) frames that miss their slot by more than HALF a period
+        — a frame later than that displays visibly off-cadence, so it is
+        counted and the origin resyncs rather than compounding lateness
+        (the reference's late-frame warning, macadamConsumer.ts:186-193).
+
+        Backends may provide an awaitable ``wait_until(t)`` (a virtual
+        clock in tests, a hardware wait in shims); otherwise the wait is
+        an asyncio.sleep against ``hardware_time()``."""
         now = self.backend.hardware_time()
         if self._t0 is None:
             self._t0 = now
             return
         slot = self._t0 + self._displayed * self.frame_period
         if now + 1e-4 < slot:
-            await asyncio.sleep(slot - now)
-        elif now > slot + self.frame_period:
+            waiter = getattr(self.backend, "wait_until", None)
+            if waiter is not None:
+                await waiter(slot)
+            else:
+                await asyncio.sleep(slot - now)
+        elif now > slot + 0.5 * self.frame_period:
             self.late_frames += 1
             # resync rather than compounding lateness forever
             self._t0 = now - self._displayed * self.frame_period
