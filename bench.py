@@ -170,10 +170,14 @@ def interlaced_channels_step(n_channels: int, interpret: bool, w=1920, h=1080):
     Per channel per period, exactly what the runtime dispatches:
     - 8 source unpacks (one new interlaced frame per source per period,
       runtime/layer.py SourceSlot._pull_video -> make_unpack_program);
-    - 2 channel-program ticks (parity 0/1), each running 4 layers x
-      2-slot yadif ring deinterlace -> fused dissolve pair-warp ->
-      over-combine -> per-field v210 pack (packed-only: the SDI/file
-      consumers pair fields in the packed domain, so no RGBA emit);
+    - 8 PAIR deinterlaces (one launch serves BOTH field ticks from one
+      ring read — runtime/layer.SourceSlot._use_pair ->
+      make_yadif_pair_field_program; the single-field ring path read
+      the same three frames twice per period);
+    - 2 channel-program ticks, each running 4 premixed dissolve
+      pair-warps over the tick's deinterlaced fields -> over-combine ->
+      per-field v210 pack (packed-only: the SDI/file consumers pair
+      fields in the packed domain, so no RGBA emit);
     - 1 field-pair row-parity word interleave (the consumer's two-field
       output frame, make_interlaced_word_pack_program — bit-identical
       to the RGBA re-encode it replaced).
@@ -186,6 +190,7 @@ def interlaced_channels_step(n_channels: int, interpret: bool, w=1920, h=1080):
         make_channel_program,
         make_interlaced_word_pack_program,
         make_unpack_program,
+        make_yadif_pair_field_program,
     )
     from phaneron_tpu.ops.formats import get_format, host_split
     from phaneron_tpu.ops.geometry import transform_matrix
@@ -196,13 +201,14 @@ def interlaced_channels_step(n_channels: int, interpret: bool, w=1920, h=1080):
     # opaque wire format: rings are alpha-free (3, H, W) frames, exactly
     # what runtime/layer.SourceSlot produces for v210 sources
     unpack = make_unpack_program("v210", w, h, "709", "709", channels=3)
+    pair_deint = make_yadif_pair_field_program(h, w, True, channels=3)
     pack_pair = make_interlaced_word_pack_program("v210")
     base = np.asarray(host_split(v210, v210.fill_buf(w, h))[0])
 
     layer = LayerSpec(
         RGBA_F32, transition="dissolve", has_transform=True, axis_aligned=True,
-        src_b_format=RGBA_F32, deinterlace=True, warp_bucket=-1,
-        src_opaque=True,  # wire format v210: alpha==1 rings
+        src_b_format=RGBA_F32, warp_bucket=-1,
+        src_opaque=True,  # wire format v210: alpha-free 3-channel fields
     )
     mref = transform_matrix(w, h, scale_x=0.9, scale_y=0.9, offset_x=0.02)
     layer = layer._replace(warp_bucket=bucket_of(mref) if not interpret else -1)
@@ -264,25 +270,26 @@ def interlaced_channels_step(n_channels: int, interpret: bool, w=1920, h=1080):
             idx += 4
             srcs = [x if c == 0 and s == 0 else words[s] for s in range(8)]
             fresh = [unpack([sw]) for sw in srcs]
-            rings = [
-                (aged[s][0], aged[s][1], fresh[s]) for s in range(8)
+            # one pair launch per source per period: (first, second)
+            # field-tick frames in emission order
+            fields = [
+                pair_deint(aged[s][0], aged[s][1], fresh[s]) for s in range(8)
             ]
-            fields = []
-            for parity in (0, 1):
+            for t in (0, 1):
                 layers = [
                     {
-                        "src_ring": rings[2 * i],
-                        "src_b_ring": rings[2 * i + 1],
-                        "parity": jnp.int32(parity),
+                        "src": fields[2 * i][t],
+                        "src_b": fields[2 * i + 1][t],
                         "matrix": mats[i],
                         "mix": jnp.float32(0.4 + 0.05 * i),
                     }
                     for i in range(4)
                 ]
                 packed = prog({"layers": layers})
-                fields.append(packed)
+                if t == 0:
+                    first = packed
                 out_bit = out_bit ^ (packed[0].reshape(-1)[0] & jnp.uint32(1))
-            pair = pack_pair(fields[0], fields[1])
+            pair = pack_pair(first, packed)
             out_bit = out_bit ^ (pair[0].reshape(-1)[0] & jnp.uint32(1))
         return x ^ out_bit
 

@@ -43,6 +43,7 @@ __all__ = [
     "make_unpack_program",
     "make_pack_program",
     "make_yadif_program",
+    "make_yadif_pair_field_program",
 ]
 
 
@@ -550,12 +551,15 @@ def _layers_combine_ok(spec: ChannelSpec) -> bool:
 
 
 
-def _batch_unpack_slots(spec: ChannelSpec, params: dict) -> dict:
+def _batch_unpack_slots(
+    spec: ChannelSpec, params: dict, skip: frozenset = frozenset()
+) -> dict:
     """Unpack every eligible v210 source slot in ONE kernel launch
     (pallas_kernels.make_v210_unpack_rgba_batch).  The serving shape's
     8 per-source unpack launches carry ~0.2 ms of scheduling overhead
     each; batching collapses them.  Slots stay on the per-layer path
-    when deinterlaced, off-geometry, or the batch doesn't fit VMEM."""
+    when deinterlaced, off-geometry, or the batch doesn't fit VMEM;
+    ``skip`` holds layer indices the packed composite run consumes raw."""
     if not spec.pallas_stages:
         return {}
     from ..ops.pallas_kernels import (
@@ -566,6 +570,8 @@ def _batch_unpack_slots(spec: ChannelSpec, params: dict) -> dict:
 
     slots = []
     for li, (ls, lp) in enumerate(zip(spec.layers, params["layers"])):
+        if li in skip:
+            continue  # the packed composite run consumes these raw
         if ls.deinterlace or ls.src_size is not None:
             continue
         if _packed_layer_ok(ls, spec, lp):
@@ -595,101 +601,187 @@ def _batch_unpack_slots(spec: ChannelSpec, params: dict) -> dict:
     return {slot: rgba for slot, rgba in zip(slots, rgbas)}
 
 
-def _packed_composite_ok(spec: ChannelSpec, params: dict) -> bool:
-    """Gate for the all-layers packed kernel: every layer is a bucketed
-    axis-aligned DVE from host-split v210 planes at channel geometry, a
-    cut or same-matrix dissolve, into a v210-only output."""
+# The all-layers packed composite kernel family (pallas_packed_warp.
+# make_packed_composite_program).  OFF only for the bench's documented
+# staged-fallback measurement; the pipeline ships with it ON.
+ENABLE_PACKED_COMPOSITE = True
+
+
+def _top_alpha_fixup(rgba, spec: "ChannelSpec", params: dict, top_li: int):
+    """Restore the reference's channel-alpha contract on an emitted frame.
+
+    The emitted frame's alpha is the TOP layer's alpha (the reference
+    zeroes the accumulated alpha every 'over' step: combine.ts:47-59,
+    k4 = (k,k,k,0)); the packed composite kernel instead emits its
+    run's over-accumulated COVERAGE (1 - prod(1-a_m)) — exactly what
+    straggler composition needs to place the run over a layer below it.
+    When the run contains the stack top, rebuild the emitted alpha as
+    the top layer's separable warp alpha wy x wx (exact: an
+    axis-aligned bilinear warp of the constant-1 plane factorises).
+    Channel-index where-assembly, not concatenate (fusion-safe)."""
+    from ..ops.pallas_warp import warp_alpha_vectors
+
+    mat = jnp.asarray(params["layers"][top_li]["matrix"], jnp.float32)
+    wy, wx = warp_alpha_vectors(spec.height, spec.width, mat)
+    a = wy[:, None] * wx[None, :]
+    ch = jnp.arange(4, dtype=jnp.int32)[:, None, None]
+    return jnp.where(ch == 3, a[None], rgba)
+
+
+def _packed_composite_layer_ok(ls: LayerSpec, lp: dict) -> bool:
+    """Per-layer eligibility for the all-layers packed kernel: a
+    bucketed axis-aligned DVE from host-split v210 planes at channel
+    geometry, as a cut or same-matrix dissolve."""
+    if ls.transition not in ("none", "dissolve"):
+        return False
+    if not (ls.has_transform and ls.axis_aligned and ls.warp_bucket >= 0):
+        return False
+    if ls.deinterlace or ls.src_size is not None:
+        return False
+    if ls.src_format != "v210":
+        return False
+    wa = lp.get("src")
+    if wa is None or wa[0].ndim != 3:
+        return False
+    if ls.transition == "dissolve":
+        if not ls.warp_same_mat:
+            return False
+        if (ls.src_b_format or ls.src_format) != "v210":
+            return False
+        wb = lp.get("src_b")
+        if wb is None or wb[0].ndim != 3:
+            return False
+    return True
+
+
+def _packed_composite_run(spec: ChannelSpec, params: dict):
+    """The packed composite's dispatch plan: (start, end, emit) or None.
+
+    Instead of the round-4 all-or-nothing gate (one rotation, wipe,
+    distinct-matrix dissolve or non-v210 source silently dropped the
+    WHOLE channel to the staged path), the longest CONTIGUOUS run of
+    eligible layers (>= 2) runs in the one-kernel composite.  When the
+    run is the whole stack into a v210-only output, emit is 'packed'
+    (or 'both' for emit_rgba channels — a ROUTE tap no longer evicts
+    the fast path); otherwise the run emits its composited RGBA (with
+    over-accumulated alpha) and the staged path composites the
+    straggler layers around it — premultiplied 'over' is associative,
+    so folding a contiguous run into one (rgb, alpha) pair is the same
+    composite (~2^-17 rounding-order class)."""
     if not (
-        ENABLE_PACKED_WARP
+        ENABLE_PACKED_COMPOSITE
+        and ENABLE_PACKED_WARP
         and ENABLE_PALLAS_WARP
         and spec.pallas_stages
         and spec.layers
-        and spec.out_format == "v210"
-        and not spec.emit_rgba
     ):
-        return False
-    for ls, lp in zip(spec.layers, params["layers"]):
-        if ls.transition not in ("none", "dissolve"):
-            return False
-        if not (ls.has_transform and ls.axis_aligned and ls.warp_bucket >= 0):
-            return False
-        if ls.deinterlace or ls.src_size is not None:
-            return False
-        if ls.src_format != "v210":
-            return False
-        wa = lp.get("src")
-        if wa is None or wa[0].ndim != 3:
-            return False
-        if ls.transition == "dissolve":
-            if not ls.warp_same_mat:
-                return False
-            if (ls.src_b_format or ls.src_format) != "v210":
-                return False
-            wb = lp.get("src_b")
-            if wb is None or wb[0].ndim != 3:
-                return False
+        return None
+    elig = [
+        _packed_composite_layer_ok(ls, lp)
+        for ls, lp in zip(spec.layers, params["layers"])
+    ]
+    best = None
+    i, n = 0, len(elig)
+    while i < n:
+        if not elig[i]:
+            i += 1
+            continue
+        j = i
+        while j < n and elig[j]:
+            j += 1
+        if best is None or (j - i) > (best[1] - best[0]):
+            best = (i, j)
+        i = j
+    if best is None or best[1] - best[0] < 2:
+        return None
+    start, end = best
+    if (start, end) == (0, n) and spec.out_format == "v210":
+        emit = "both" if spec.emit_rgba else "packed"
+    else:
+        emit = "rgba"
     from ..ops.pallas_packed_warp import packed_composite_fits
 
-    return packed_composite_fits(
-        spec.height,
-        spec.width,
-        max(ls.warp_bucket for ls in spec.layers),
-        len(spec.layers),
+    bucket = max(ls.warp_bucket for ls in spec.layers[start:end])
+    if not packed_composite_fits(
+        spec.height, spec.width, bucket, end - start, emit=emit
+    ):
+        if emit == "both" and packed_composite_fits(
+            spec.height, spec.width, bucket, end - start, emit="rgba"
+        ):
+            # the dual-output plan doesn't fit VMEM: emit rgba from the
+            # kernel and pack it on the staged tail instead
+            return (start, end, "rgba")
+        return None
+    return (start, end, emit)
+
+
+def _dispatch_packed_composite(
+    spec: ChannelSpec, params: dict, start: int, end: int, emit: str
+):
+    """Build and invoke the one-kernel composite over layers
+    [start, end) with the given emit mode."""
+    from ..ops.pallas_packed_warp import (
+        _composite_config,
+        composite_cchunk,
+        make_packed_composite_program,
     )
+
+    h, w = spec.height, spec.width
+    layers = spec.layers[start:end]
+    lparams = params["layers"][start:end]
+    layer_cfg = tuple(2 if ls.transition == "dissolve" else 1 for ls in layers)
+    bucket = max(ls.warp_bucket for ls in layers)
+    cc = PACKED_CCHUNK or composite_cchunk(
+        h, w, bucket, len(layers), PACKED_SEXTET_SPLIT
+    )
+    if (
+        w % cc
+        or _composite_config(
+            h, w, bucket, len(layers), cc, PACKED_SEXTET_SPLIT, emit
+        )
+        is None
+    ):
+        # a fixed PACKED_CCHUNK that doesn't divide this frame or fit
+        # its VMEM plan falls back to the gate's 128 plan
+        # (packed_composite_fits proved that one feasible)
+        cc = 128
+    progc = make_packed_composite_program(
+        h, w, bucket, layer_cfg, spec.col_spec, spec.out_col_spec,
+        cchunk=cc,
+        poly_gamma=PACKED_POLY_GAMMA,
+        sextet_split=PACKED_SEXTET_SPLIT,
+        emit=emit,
+    )
+    srcs, mats, mixes = [], [], []
+    for ls, lp in zip(layers, lparams):
+        srcs.append(lp["src"][0])
+        if ls.transition == "dissolve":
+            srcs.append(lp["src_b"][0])
+            mixes.append(jnp.asarray(lp["mix"], jnp.float32))
+        else:
+            mixes.append(jnp.float32(1.0))
+        mats.append(jnp.asarray(lp["matrix"], jnp.float32))
+    return progc(srcs, jnp.stack(mats), jnp.stack(mixes))
 
 
 def _channel_frame(spec: ChannelSpec, params: dict):
     """params = {'layers': [per-layer dicts bottom..top]} -> packed planes
     (and the composited RGBA when spec.emit_rgba)."""
     h, w = spec.height, spec.width
-    if _packed_composite_ok(spec, params):
+    run = _packed_composite_run(spec, params)
+    if run is not None and run[2] in ("packed", "both"):
         # the whole frame in ONE kernel: packed sources -> in-window
         # decode -> premixed warps -> over-composite -> v210 pack.
-        # HBM traffic is packed words in + packed words out.
+        # HBM traffic is packed words in + packed words out (+ the
+        # composited RGBA when a ROUTE tap needs it).
         from ..ops.pallas_kernels import planes_to_words
-        from ..ops.pallas_packed_warp import (
-            composite_cchunk,
-            make_packed_composite_program,
-        )
 
-        layer_cfg = tuple(
-            2 if ls.transition == "dissolve" else 1 for ls in spec.layers
-        )
-        bucket = max(ls.warp_bucket for ls in spec.layers)
-        from ..ops.pallas_packed_warp import _composite_config
-
-        cc = PACKED_CCHUNK or composite_cchunk(
-            h, w, bucket, len(spec.layers), PACKED_SEXTET_SPLIT
-        )
-        if (
-            w % cc
-            or _composite_config(
-                h, w, bucket, len(spec.layers), cc, PACKED_SEXTET_SPLIT
-            )
-            is None
-        ):
-            # a fixed PACKED_CCHUNK that doesn't divide this frame or
-            # fit its VMEM plan falls back to the gate's 128 plan
-            # (packed_composite_fits proved that one feasible)
-            cc = 128
-        progc = make_packed_composite_program(
-            h, w, bucket,
-            layer_cfg, spec.col_spec, spec.out_col_spec,
-            cchunk=cc,
-            poly_gamma=PACKED_POLY_GAMMA,
-            sextet_split=PACKED_SEXTET_SPLIT,
-        )
-        srcs, mats, mixes = [], [], []
-        for ls, lp in zip(spec.layers, params["layers"]):
-            srcs.append(lp["src"][0])
-            if ls.transition == "dissolve":
-                srcs.append(lp["src_b"][0])
-                mixes.append(jnp.asarray(lp["mix"], jnp.float32))
-            else:
-                mixes.append(jnp.float32(1.0))
-            mats.append(jnp.asarray(lp["matrix"], jnp.float32))
-        planes = progc(srcs, jnp.stack(mats), jnp.stack(mixes))
-        return [planes_to_words(planes)]
+        out = _dispatch_packed_composite(spec, params, run[0], run[1], run[2])
+        if run[2] == "packed":
+            return [planes_to_words(out)]
+        planes, rgba = out
+        rgba = _top_alpha_fixup(rgba, spec, params, run[1] - 1)
+        return {"packed": [planes_to_words(planes)], "rgba": rgba}
     use_fused = False
     if spec.pallas_stages and ENABLE_FUSED_COMPOSITE:
         from ..ops.pallas_composite import composite_supported
@@ -731,11 +823,21 @@ def _channel_frame(spec: ChannelSpec, params: dict):
                     make_v210_combine_pack(w, h, 1, spec.out_col_spec)([composited])
                 ]
     else:
-        pre = _batch_unpack_slots(spec, params)
-        layer_frames = [
-            _process_layer(ls, lp, spec, pre, li)
-            for li, (ls, lp) in enumerate(zip(spec.layers, params["layers"]))
-        ]
+        run_span = frozenset(range(run[0], run[1])) if run is not None else frozenset()
+        pre = _batch_unpack_slots(spec, params, skip=run_span)
+        layer_frames = []
+        for li, (ls, lp) in enumerate(zip(spec.layers, params["layers"])):
+            if li in run_span:
+                if li == run[0]:
+                    # the eligible run composites in ONE packed kernel
+                    # emitting (rgb, over-accumulated alpha); straggler
+                    # layers (rotation / wipe / distinct-matrix /
+                    # non-v210) composite around it on this staged path
+                    layer_frames.append(
+                        _dispatch_packed_composite(spec, params, run[0], run[1], "rgba")
+                    )
+                continue
+            layer_frames.append(_process_layer(ls, lp, spec, pre, li))
         # 3-channel layers ride as (rgb, wy, wx) separable-alpha tuples
         layer_chs = tuple(3 if isinstance(f, tuple) else 4 for f in layer_frames)
         # fused combine+pack tail: the XLA combine -> pack pair costs
@@ -774,6 +876,16 @@ def _channel_frame(spec: ChannelSpec, params: dict):
         else:
             black = jnp.zeros((4, h, w), dtype=jnp.float32)  # Black generator
             composited = combine([black] + layer_frames)
+        if (
+            run is not None
+            and run[1] == len(spec.layers)
+            and composited.shape[0] == 4
+            and (spec.emit_rgba or spec.out_format in ("rgba8", "bgra8"))
+        ):
+            # the run is the stack top: its coverage alpha drove the
+            # 'over' correctly, but the EMITTED alpha must be the top
+            # layer's (reference combine.ts semantics)
+            composited = _top_alpha_fixup(composited, spec, params, run[1] - 1)
     if composited.shape[0] == 3 and not (
         spec.out_format == "v210" and spec.pallas_stages
     ):
@@ -1004,6 +1116,37 @@ def make_interlaced_word_pack_program(fmt_name: str):
             rows = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
             outs.append(jnp.where(rows % 2 == 0, t, b))
         return outs
+
+    return program
+
+
+@lru_cache(maxsize=None)
+def make_yadif_pair_field_program(
+    height: int, width: int, tff: bool, channels: int = 4,
+    skip_spatial: bool = False,
+):
+    """Producer-side pair deinterlace: BOTH field ticks of a frame
+    period from ONE launch and one ring read (ops.pallas_yadif pair
+    kernel — 18 half-plane reads where two single-field launches read
+    30, the dominant cost of the reference's default 4x1080i50 load).
+
+    Returns a jitted fn(prev, cur, next_) -> (first, second) in field
+    EMISSION order (tff: parity 0 then 1; bff: 1 then 0 — the
+    runtime/layer.py parity law).  Each output is bit-identical to the
+    in-program yadif ring path at that parity.  Callers gate on
+    ops.pallas_yadif.yadif_pair_fits; the channel program then consumes
+    the fields as plain progressive RGBA sources
+    (ffmpegProducer.ts:557-566 places yadif producer-side the same way)."""
+    from ..ops.pallas_yadif import make_yadif_pair_program
+
+    prog = make_yadif_pair_program(
+        height, width, tff, skip_spatial, channels=channels
+    )
+
+    @jax.jit
+    def program(prev, cur, next_):
+        o0, o1 = prog(prev, cur, next_)
+        return (o0, o1) if tff else (o1, o0)
 
     return program
 

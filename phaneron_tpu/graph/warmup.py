@@ -40,7 +40,10 @@ def _layer_struct(ls: LayerSpec, spec: ChannelSpec) -> dict:
         )
         params["parity"] = jax.ShapeDtypeStruct((), jnp.int32)
     elif ls.src_format == "rgba_f32":
-        params["src"] = jax.ShapeDtypeStruct((4, h, w), jnp.float32)
+        # slot-side pair deinterlace of an opaque wire format delivers
+        # alpha-free (3, H, W) fields (src_opaque records the shape)
+        nc = 3 if ls.src_opaque else 4
+        params["src"] = jax.ShapeDtypeStruct((nc, h, w), jnp.float32)
     else:
         params["src"] = _plane_structs(ls.src_format, w, h)
     if ls.has_transform:
@@ -56,6 +59,9 @@ def _layer_struct(ls: LayerSpec, spec: ChannelSpec) -> dict:
             params["src_b_ring"] = tuple(
                 jax.ShapeDtypeStruct((nc, h, w), jnp.float32) for _ in range(3)
             )
+        elif (ls.src_b_format or ls.src_format) == "rgba_f32":
+            nc = 3 if ls.src_opaque else 4
+            params["src_b"] = jax.ShapeDtypeStruct((nc, h, w), jnp.float32)
         else:
             params["src_b"] = _plane_structs(
                 ls.src_b_format or ls.src_format, w, h

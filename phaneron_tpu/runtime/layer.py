@@ -42,12 +42,24 @@ class SourceSlot:
         channel_fmt: VideoFormat,
         col_spec: str = "709",
         gamma_mode: str = "analytic",
+        pair_deint: bool = False,
     ):
         self.producer = producer
         self.mixer = mixer
         self.channel_fmt = channel_fmt
         self.col_spec = col_spec
         self.gamma_mode = gamma_mode
+        # slot-side PAIR deinterlace (graph.pipeline.
+        # make_yadif_pair_field_program): both field ticks of a frame
+        # period from one kernel launch and one ring read; the channel
+        # program then sees plain progressive RGBA sources.  Enabled by
+        # the channel on single-device Pallas paths (sp-sharded
+        # channels keep the in-program ring so GSPMD shards the yadif).
+        self.pair_deint = pair_deint
+        self._pair_key = None
+        self._pair_ok = False
+        self._pair_fields = None  # (first, second) in emission order
+        self._pair_active = False
         self.video = producer.video_stream()
         self.audio = producer.audio_stream()
         self.rechunker = Rechunker(
@@ -116,6 +128,7 @@ class SourceSlot:
                 )
             rgba = frame.payload if frame.format == RGBA_F32 else self._unpack(frame.payload)
             self.ring.append(rgba)
+            self._pair_fields = None  # ring advanced: recompute the pair
 
     async def tick(self) -> Optional[dict]:
         """Advance one channel tick; return graph params for this source
@@ -133,11 +146,26 @@ class SourceSlot:
         if self.interlaced and self.last.format != RGBA_F32:
             if len(self.ring) < 3:
                 return None
+            is_second = tick_in_frame % 2 == 1
+            if self._use_pair():
+                self._pair_active = True
+                if self._pair_fields is None:
+                    from ..graph.pipeline import make_yadif_pair_field_program
+
+                    prog = make_yadif_pair_field_program(
+                        self.last.height,
+                        self.last.width,
+                        bool(self.last.tff),
+                        channels=self.ring[0].shape[-3],
+                    )
+                    self._pair_fields = prog(*self.ring)
+                return {"src": self._pair_fields[1 if is_second else 0]}
+            self._pair_active = False
+
             import jax.numpy as jnp
 
             # field parity: first output field (tff) keeps even rows
             # (parity tff^1, yadif.ts:104), second keeps odd
-            is_second = tick_in_frame % 2 == 1
             parity = (1 if self.last.tff else 0) ^ (0 if is_second else 1)
             # the ring rides as a TUPLE of three frames: stacking would
             # dispatch a (3,4,H,W) device concat (~400 MB/tick at HD)
@@ -146,7 +174,39 @@ class SourceSlot:
                 "src_ring": tuple(self.ring),
                 "parity": jnp.int32(parity),
             }
+        self._pair_active = False
         return {"src": self.last.payload}
+
+    def _use_pair(self) -> bool:
+        """Gate for slot-side pair deinterlace at this ring's geometry."""
+        if not self.pair_deint:
+            return False
+        key = (self.last.height, self.last.width, self.ring[0].shape[-3])
+        if key != self._pair_key:
+            from ..ops.pallas_yadif import yadif_pair_fits
+
+            self._pair_key = key
+            self._pair_ok = yadif_pair_fits(*key)
+        return self._pair_ok
+
+    def _pair_possible(self) -> bool:
+        """Ring-independent prediction of _use_pair (the wire format
+        decides the ring's channel count) — used by Layer.poll to keep
+        both sides of a dissolve on one deinterlace strategy."""
+        if not self.pair_deint or self.last is None:
+            return False
+        if not (self.interlaced and self.last.format != RGBA_F32):
+            return False
+        from ..ops.formats import get_format
+        from ..ops.pallas_yadif import yadif_pair_fits
+
+        try:
+            opaque = not get_format(self.last.format).INFO.is_rgb
+        except KeyError:
+            opaque = False
+        return yadif_pair_fits(
+            self.last.height, self.last.width, 3 if opaque else 4
+        )
 
     def layer_spec_fields(self) -> dict:
         """Static structure this slot contributes to the LayerSpec."""
@@ -166,6 +226,17 @@ class SourceSlot:
                 opaque = not get_format(fmt).INFO.is_rgb
             except KeyError:
                 opaque = False
+        if deint and self._pair_active:
+            # slot-side pair deinterlace already ran: the channel
+            # program sees a plain progressive RGBA source (src_opaque
+            # records the 3-channel alpha-free frame shape so prewarm
+            # predicts the right trace)
+            return {
+                "src_format": RGBA_F32,
+                "deinterlace": False,
+                "src_size": src_size,
+                "src_opaque": opaque,
+            }
         return {
             "src_format": RGBA_F32 if deint else fmt,
             "deinterlace": deint,
@@ -220,10 +291,17 @@ class SourceSlot:
 class Layer:
     """Current/next source slots with transition lifecycle (layer.ts)."""
 
-    def __init__(self, channel_fmt: VideoFormat, col_spec="709", gamma_mode="analytic"):
+    def __init__(
+        self,
+        channel_fmt: VideoFormat,
+        col_spec="709",
+        gamma_mode="analytic",
+        pair_deint: bool = False,
+    ):
         self.channel_fmt = channel_fmt
         self.col_spec = col_spec
         self.gamma_mode = gamma_mode
+        self.pair_deint = pair_deint
         self.cur: Optional[SourceSlot] = None
         self.next: Optional[SourceSlot] = None
         self.mask: Optional[SourceSlot] = None
@@ -236,7 +314,10 @@ class Layer:
     # ------------------------------------------------------- lifecycle
 
     def _slot(self, producer, mixer) -> SourceSlot:
-        return SourceSlot(producer, mixer, self.channel_fmt, self.col_spec, self.gamma_mode)
+        return SourceSlot(
+            producer, mixer, self.channel_fmt, self.col_spec, self.gamma_mode,
+            pair_deint=self.pair_deint,
+        )
 
     def load(
         self,
@@ -356,6 +437,22 @@ class Layer:
         """One channel tick: returns this layer's graph contribution."""
         if self.cur is None:
             return None
+
+        if (
+            self.transition is not None
+            and self.next is not None
+            and self.next.last is not None
+            and self.next.interlaced
+            and self.next.last.format != RGBA_F32
+            and not self.next._pair_possible()
+            and self.cur._pair_possible()
+        ):
+            # mixed dissolve: the incoming source must ride the
+            # in-program yadif ring (its geometry doesn't fit the pair
+            # kernel) while cur would pre-deinterlace — but a LayerSpec
+            # carries ONE deinterlace flag, so both sides take the ring
+            self.cur.pair_deint = False
+            self.cur._pair_fields = None
 
         cur_params = await self.cur.tick()
         cur_fields = self.cur.layer_spec_fields()

@@ -136,3 +136,41 @@ def test_interlaced_pack_broadcast_geometry_1080i():
     # interlaced round-trip stays bit-exact at broadcast geometry
     rt = np.asarray(pack(unpack([jnp.asarray(merged)]))[0])
     assert np.array_equal(rt, merged)
+
+
+def test_pair_deint_channel_bit_equals_ring_path():
+    """Slot-side PAIR deinterlace (one kernel launch serves both field
+    ticks, runtime/layer.SourceSlot._use_pair) must produce bit-identical
+    channel output to the in-program yadif ring path, tick for tick —
+    same parity law, same emission order (yadifCl.ts send_field)."""
+    fmt_p = VideoFormat("t128p", 1, 128, 64, 128, 50, 1, 48000, 2)
+    fmt_i = VideoFormat("t128i", 2, 128, 64, 128, 50, 1, 48000, 2)
+
+    async def drive(pair: bool):
+        ch = Channel(1, fmt_p, ProducerRegistry([create_test_pattern_producer]))
+        lay = ch.layer(1)
+        lay.pair_deint = pair
+        assert await ch.load_source(1, LoadParams("BARS"))
+        slot = lay.next
+        slot.producer.fmt = fmt_i
+
+        async def patched_pull():
+            await type(slot)._pull_video(slot)
+            if slot.last is not None:
+                slot.last.interlaced = True
+
+        slot._pull_video = patched_pull
+        ch.play(1)
+        outs = [await ch.render_frame() for _ in range(10)]
+        await ch.shutdown()
+        return [np.asarray(o.packed[0]).tobytes() for o in outs]
+
+    ring_out = run(drive(False))
+    pair_out = run(drive(True))
+    assert pair_out == ring_out
+    # sanity: the last ticks carry real deinterlaced picture, not black
+    y, _, _ = get_format("v210").unpack_codes(
+        [jnp.asarray(np.frombuffer(pair_out[-1], np.uint32).reshape(64, -1))],
+        128, 64,
+    )
+    assert np.asarray(y).max() > 64
