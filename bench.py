@@ -36,10 +36,12 @@ HBM_GBPS = 820.0  # v5e peak; measurements below bytes/bandwidth are noise
 
 
 def r2(x, nd=2):
-    """round() that maps a failed (NaN) measurement to JSON null."""
+    """round() that maps a failed (NaN/absent) measurement to JSON null."""
     import math
 
-    return None if (isinstance(x, float) and math.isnan(x)) else round(x, nd)
+    if x is None or (isinstance(x, float) and math.isnan(x)):
+        return None
+    return round(x, nd)
 
 
 def chain_ms(step, x0, n_small=8, n_large=64, floor_bytes=0):
@@ -77,7 +79,8 @@ def chain_ms(step, x0, n_small=8, n_large=64, floor_bytes=0):
 
 
 def composite_step(
-    w, h, pallas: bool, interpret: bool = False, salt: int = 0, n_layers: int = 4
+    w, h, pallas: bool, interpret: bool = False, salt: int = 0, n_layers: int = 4,
+    raw_channel_frame: bool = False,
 ):
     """The real serving shape: 4 layers, each with an axis-aligned DVE
     warp and a dissolve between two v210 sources, over-composited and
@@ -126,7 +129,18 @@ def composite_step(
         src_b_format="v210", warp_bucket=bucket if pallas else -1,
     )
     spec = ChannelSpec(w, h, "v210", layers=(layer,) * n_layers, pallas_stages=pallas)
-    prog = make_channel_program(spec)
+    if raw_channel_frame:
+        # trace _channel_frame directly instead of the cached nested-jit
+        # program: the nested jit caches its trace by aval, so a module
+        # flag flipped for the STAGED fallback measurement (packed
+        # composite off) would be ignored in favour of the headline's
+        # cached packed trace
+        from phaneron_tpu.graph import pipeline as _pl
+
+        _pl._prewarm_coeffs(spec)
+        prog = lambda params: _pl._channel_frame(spec, params)  # noqa: E731
+    else:
+        prog = make_channel_program(spec)
 
     # statics ride as jit ARGUMENTS, not closure constants: captured
     # device arrays serialize into the compile payload (GBs at UHD),
@@ -144,6 +158,107 @@ def composite_step(
             }
             for i in range(n_layers)
         ]
+        out = prog({"layers": layers})[0]
+        return x ^ (out.reshape(-1)[0] & jnp.uint32(1))
+
+    def step(x):
+        return raw_step(x, *statics, *mats)
+
+    return step
+
+
+def composite_variant_step(w, h, variant: str, interpret: bool = False):
+    """UHD composite shapes that the round-4 gate evicted wholesale
+    (VERDICT r4 weak #2): three eligible same-matrix dissolve layers
+    plus ONE straggler — a rotating cut ('one_rotation') or a masked
+    wipe ('wipe').  The de-cliffed dispatch (_packed_composite_run)
+    composites the eligible run in the one-kernel packed program and
+    the straggler around it on the staged path.  'odd_cut' keeps all
+    four layers eligible but makes the top a plain cut: 3 dissolves +
+    1 cut = 7 packed windows, the odd flat-source count whose
+    double-buffering VERDICT r4 item 5 demanded."""
+    from phaneron_tpu.graph.pipeline import ChannelSpec, LayerSpec, make_channel_program
+    from phaneron_tpu.ops.formats import get_format, host_split
+    from phaneron_tpu.ops.geometry import transform_matrix
+    from phaneron_tpu.ops.pallas_rotate import rot_bucket_of
+    from phaneron_tpu.ops.pallas_warp import bucket_of
+
+    pallas = not interpret
+    mref = transform_matrix(w, h, scale_x=0.9, scale_y=0.9, offset_x=0.02)
+    bucket = bucket_of(mref) if pallas else -1
+    diss = LayerSpec(
+        "v210", transition="dissolve", has_transform=True, axis_aligned=True,
+        src_b_format="v210", warp_bucket=bucket,
+    )
+    mats = [
+        jax.device_put(
+            jnp.asarray(
+                transform_matrix(
+                    w, h, scale_x=0.9, scale_y=0.9, offset_x=0.02 + 0.003 * i
+                )
+            )
+        )
+        for i in range(3)
+    ]
+    if variant == "one_rotation":
+        m_top_np = transform_matrix(w, h, rotate=100 / 360.0, scale_x=0.9, scale_y=0.9)
+        code = rot_bucket_of(np.asarray(m_top_np), w, h) if pallas else -1
+        top = LayerSpec(
+            "v210", transition="none", has_transform=True, axis_aligned=False,
+            warp_bucket=-1, rot_bucket=code,
+        )
+        n_top_srcs = 1
+    elif variant == "wipe":
+        m_top_np = transform_matrix(w, h, scale_x=0.9, scale_y=0.9, offset_x=0.05)
+        top = LayerSpec(
+            "v210", transition="wipe", has_transform=True, axis_aligned=True,
+            mask_format="v210", src_b_format="v210",
+            warp_bucket=bucket_of(m_top_np) if pallas else -1,
+        )
+        n_top_srcs = 3  # a, b, mask
+    elif variant == "odd_cut":
+        m_top_np = transform_matrix(w, h, scale_x=0.9, scale_y=0.9, offset_x=0.05)
+        top = LayerSpec(
+            "v210", transition="none", has_transform=True, axis_aligned=True,
+            warp_bucket=bucket_of(m_top_np) if pallas else -1,
+        )
+        n_top_srcs = 1
+    else:  # pragma: no cover - caller error
+        raise ValueError(variant)
+    m_top = jax.device_put(jnp.asarray(m_top_np))
+    spec = ChannelSpec(
+        w, h, "v210", layers=(diss,) * 3 + (top,), pallas_stages=pallas
+    )
+    prog = make_channel_program(spec)
+
+    v210 = get_format("v210")
+    base = np.asarray(
+        host_split(v210, v210.fill_buf(w, h))[0] if pallas else v210.fill_buf(w, h)[0]
+    )
+    n_srcs = 6 + n_top_srcs  # 3 dissolve pairs + the top layer's sources
+    statics = [
+        jax.device_put(np.roll(base, 17 * (k + 1) + 3, axis=1))
+        for k in range(n_srcs - 1)
+    ]
+
+    @jax.jit
+    def raw_step(x, *flat):
+        srcs = [x] + list(flat[: n_srcs - 1])
+        fmats = flat[n_srcs - 1 :]
+        layers = [
+            {
+                "src": [srcs[2 * i]],
+                "src_b": [srcs[2 * i + 1]],
+                "matrix": fmats[i],
+                "mix": jnp.float32(0.4 + 0.05 * i),
+            }
+            for i in range(3)
+        ]
+        top_p = {"src": [srcs[6]], "matrix": m_top}
+        if variant == "wipe":
+            top_p["src_b"] = [srcs[7]]
+            top_p["mask"] = [srcs[8]]
+        layers.append(top_p)
         out = prog({"layers": layers})[0]
         return x ^ (out.reshape(-1)[0] & jnp.uint32(1))
 
@@ -612,6 +727,90 @@ def main():
     )
     log(f"UHD 4-layer pipeline latency: p50 {uhd_p50:.2f} ms  p99 {uhd_p99:.2f} ms")
 
+    # 4b. the de-cliffed composite shapes (VERDICT r4 item 2): one
+    # straggler (rotation / wipe) over a 3-layer packed run, the
+    # 7-window odd flat-source count, and the documented STAGED
+    # fallback cost (packed composite disabled wholesale).
+    variant_ms, variant_p99 = {}, {}
+    for vname, floor_mult in (("one_rotation", 8), ("wipe", 10), ("odd_cut", 8)):
+        try:
+            vstep = composite_variant_step(3840, 2160, vname, interpret=interpret)
+            t0 = time.perf_counter()
+            jax.block_until_ready(vstep(uhd_src))
+            log(f"UHD {vname} compile+first-run: {time.perf_counter()-t0:.1f}s")
+            vfloor = floor_mult * uhd_src.nbytes
+            vms = min(
+                chain_ms(vstep, uhd_src, n_small=2, n_large=12, floor_bytes=vfloor)[0],
+                chain_ms(vstep, uhd_src, n_small=2, n_large=12, floor_bytes=vfloor)[0],
+            )
+            variant_ms[vname] = round(vms, 3)
+            if vname != "odd_cut":
+                _, vp99 = min(
+                    (pipeline_percentiles(vstep, uhd_src, 2, 6, 16, vfloor)
+                     for _ in range(2)),
+                    key=lambda t: t[1],
+                )
+                variant_p99[vname] = round(vp99, 2)
+            log(f"UHD 4-layer {vname}: {vms:.3f} ms/frame"
+                + (f"  p99 {variant_p99[vname]:.2f} ms" if vname in variant_p99 else ""))
+        except Exception as err:  # pragma: no cover - bench resilience
+            log(f"UHD {vname} variant failed: {err}")
+            variant_ms[vname] = None
+    uhd4_staged_ms = float("nan")
+    try:
+        from phaneron_tpu.graph import pipeline as _pl
+
+        _pl.ENABLE_PACKED_COMPOSITE = False
+        try:
+            staged_step = composite_step(
+                3840, 2160, pallas=not interpret, interpret=interpret,
+                salt=9, raw_channel_frame=True,
+            )
+            jax.block_until_ready(staged_step(uhd_src))  # traces with the flag OFF
+            uhd4_staged_ms = min(
+                chain_ms(staged_step, uhd_src, n_small=2, n_large=12,
+                         floor_bytes=uhd4_floor)[0],
+                chain_ms(staged_step, uhd_src, n_small=2, n_large=12,
+                         floor_bytes=uhd4_floor)[0],
+            )
+        finally:
+            _pl.ENABLE_PACKED_COMPOSITE = True
+        log(f"UHD 4-layer STAGED fallback (packed composite off): "
+            f"{uhd4_staged_ms:.3f} ms/frame")
+    except Exception as err:  # pragma: no cover - bench resilience
+        log(f"UHD staged fallback measurement failed: {err}")
+
+    # 4c. LIVE-PACED default load (VERDICT r4 item 1a): >=30 s of the
+    # real runtime serving 4x 1080i50 channels against the SDI genlock
+    # pacer — honest late counts and per-field render percentiles, not
+    # a chain-measured compute tick.
+    serve_late = serve_fields = serve_displayed = serve_drain = None
+    serve_p99 = float("nan")
+    try:
+        import asyncio
+        import contextlib
+        import importlib.util
+        from pathlib import Path
+
+        sbspec = importlib.util.spec_from_file_location(
+            "serve_bench", Path(__file__).parent / "tools" / "serve_bench.py"
+        )
+        sb = importlib.util.module_from_spec(sbspec)
+        sbspec.loader.exec_module(sb)
+        with contextlib.redirect_stdout(sys.stderr):  # keep stdout = one JSON line
+            serve_late, serve_displayed, sstats = asyncio.run(
+                sb.run_interlaced(32.0, n_channels=4)
+            )
+        serve_p99 = max(s["render_p99_ms"] for s in sstats)
+        serve_fields = sum(s["frames"] for s in sstats)
+        serve_drain = sstats[0].get("drain_ms")
+        log(f"LIVE-PACED 4x1080i50 (32 s): fields={serve_fields} "
+            f"late={serve_late} displayed={serve_displayed} "
+            f"field render p99={serve_p99:.2f} ms "
+            f"end-of-window device drain={serve_drain:.0f} ms")
+    except Exception as err:  # pragma: no cover - bench resilience
+        log(f"live-paced serve failed: {err}")
+
     # planar stage kernels (the ffmpeg-ingest formats): spatial unpack
     # at 1080p, one source
     from phaneron_tpu.ops.pallas_kernels import (
@@ -668,6 +867,17 @@ def main():
                         i4_tick_ms / 20.0 * 100, 1
                     ),
                     "hd4i_2channels_tick_ms": r2(i2_tick_ms),
+                    "hd4i_serve_late_frames": serve_late,
+                    "hd4i_serve_fields": serve_fields,
+                    "hd4i_serve_displayed_frames": serve_displayed,
+                    "hd4i_field_p99_ms": r2(serve_p99),
+                    "hd4i_serve_drain_ms": r2(serve_drain, 1),
+                    "uhd_4layer_one_rotation_ms": variant_ms.get("one_rotation"),
+                    "uhd_4layer_one_rotation_p99_ms": variant_p99.get("one_rotation"),
+                    "uhd_4layer_wipe_ms": variant_ms.get("wipe"),
+                    "uhd_4layer_wipe_p99_ms": variant_p99.get("wipe"),
+                    "uhd_7window_odd_cut_ms": variant_ms.get("odd_cut"),
+                    "uhd_4layer_staged_ms": r2(uhd4_staged_ms, 3),
                     "k8_passthrough_fps": round(1000 / k8_ms, 1),
                     "k8_1layer_dve_ms": round(k8dve_ms, 2),
                     "k8_dve_sp4_projection_ms": round(k8dve_ms / 4, 2),

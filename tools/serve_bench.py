@@ -101,6 +101,7 @@ class FakeGenlock:
         self._t = time.monotonic
         self._start = self._t()
         self.displayed = 0
+        self.last_planes = None  # end-of-window drain sync target
 
     def hardware_time(self):
         return self._t() - self._start
@@ -110,6 +111,7 @@ class FakeGenlock:
 
     async def display_frame(self, planes, audio_s32, ts):
         self.displayed += 1
+        self.last_planes = planes
 
     def close(self):
         pass
@@ -121,7 +123,11 @@ async def run_interlaced(seconds, n_channels=1):
     n_channels=4 is the reference's ACTUAL default load (index.ts:45-71
     configures four 1080i5000 channels): invoke with
     `python tools/serve_bench.py <secs> interlaced4` to pace all four
-    on one chip and read the honest late counts."""
+    on one chip and read the honest late counts.
+
+    Returns (total_late, total_displayed, per_channel_stats) — bench.py
+    imports this to record the live-paced run's late counts and field
+    render percentiles in the BENCH artifact (VERDICT r4 item 1a)."""
     from phaneron_tpu.consumer.sdi_consumer import SDIConsumer
     from phaneron_tpu.producer.raw_file import create_raw_file_producer
     from phaneron_tpu.utils.fixtures import write_interlaced_v210
@@ -150,20 +156,53 @@ async def run_interlaced(seconds, n_channels=1):
     # looping clips in the producers' HBM frame caches — steady state
     # then ingests with zero host->device traffic (this environment's
     # host link is a ~30 MB/s WAN tunnel; production is PCIe)
+    import jax as _jax
+
+    last_warm = []
     for ch in channels:
         for _ in range(2 * n_clip + 6):
-            await ch.render_frame()
+            wf = await ch.render_frame()
+        last_warm.append(wf)
+    # drain before pacing: the warm loop dispatched ~150 heavy renders
+    # per channel WITHOUT a sync — starting the clock against that
+    # device backlog cascades into hundreds of phantom late fields
+    # (observed: 231 late / 441 ms residual drain vs 0 late / 127 ms
+    # with this sync, same build, same box)
+    for wf in last_warm:
+        if wf is not None and wf.packed:
+            _jax.block_until_ready(wf.packed[0])
     for ch in channels:
         ch.clock.reset()
         ch.timestamp = 0
         ch.frame_times.clear()
         ch.start()
     await asyncio.sleep(seconds)
+    # honesty sync: the pacer is host-side and display_frame takes
+    # device arrays without fetching, so a device backlog would not
+    # show as late frames by itself.  ONE batched sync on each
+    # channel's final displayed frame measures the whole window's
+    # residual device backlog (healthy: ~1 tunnel RTT; a device that
+    # fell behind drains for the whole deficit here).
+    import time as _time
+
+    import jax as _jax
+
+    t_drain = _time.monotonic()
+    for backend in backends:
+        if backend.last_planes is not None:
+            _jax.block_until_ready(backend.last_planes)
+    drain_ms = (_time.monotonic() - t_drain) * 1e3
     total_late = 0
     total_displayed = 0
+    stats = []
     print(f"--- {n_channels}x 1080i50 ingest -> yadif -> SDI (fake genlock)")
+    print(f"end-of-window device drain: {drain_ms:.1f} ms")
     for ch, backend, sdi in zip(channels, backends, sdis):
-        s = ch.stats()
+        s = dict(ch.stats())
+        s["sdi_late"] = sdi.late_frames
+        s["displayed"] = backend.displayed
+        s["drain_ms"] = drain_ms
+        stats.append(s)
         total_late += s["late_frames"] + sdi.late_frames
         total_displayed += backend.displayed
         print(
@@ -173,18 +212,18 @@ async def run_interlaced(seconds, n_channels=1):
         )
     for ch in channels:
         await ch.shutdown()
-    return total_late, total_displayed
+    return total_late, total_displayed, stats
 
 
 async def main():
     seconds = float(sys.argv[1]) if len(sys.argv) > 1 else 12.0
     if "interlaced4" in sys.argv[2:]:  # the reference's default load
-        late4, displayed4 = await run_interlaced(seconds, n_channels=4)
+        late4, displayed4, _ = await run_interlaced(seconds, n_channels=4)
         print(f"4x1080i50 total late={late4} displayed={displayed4} "
               f"(honest: one chip; see configs/quad_1080i_2chip.json)")
         return
     if "interlaced" in sys.argv[2:]:  # run only config 4 (iteration aid)
-        late3, displayed = await run_interlaced(seconds)
+        late3, displayed, _ = await run_interlaced(seconds)
         assert late3 <= max(1, int(0.02 * seconds * 50)), f"1080i late: {late3}"
         assert displayed >= int(0.8 * seconds * 25), f"1080i displayed: {displayed}"
         return
@@ -211,7 +250,7 @@ async def main():
     # the interlaced config's pacing window (observed: 131 late fields
     # suite-run vs 0 standalone)
     await asyncio.sleep(5)
-    late3, displayed = await run_interlaced(seconds)
+    late3, displayed, _ = await run_interlaced(seconds)
     # tolerance: this image has ONE cpu core shared by 4 channel loops,
     # 8 consumer threads and the asyncio loop, and device syncs ride a
     # ~30 ms WAN tunnel — a handful of late ticks is host-scheduling
@@ -224,4 +263,5 @@ async def main():
     print(f"total late: {late0 + late1 + late2 + late3} (outputs in {tmp})")
 
 
-asyncio.run(main())
+if __name__ == "__main__":
+    asyncio.run(main())
