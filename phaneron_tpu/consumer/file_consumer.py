@@ -48,6 +48,13 @@ class FileConsumer(Consumer):
         # count the skipped frames — broadcast recording semantics)
         self.on_full = self.params.get("on_full", "block")
         self.dropped = 0
+        # release() drain budget: a FIRST-time compile of the batched
+        # device-stack program can hold the fetch thread for minutes
+        # (remote compile service); archival semantics prefer waiting
+        # over dropping the tail of the recording
+        self.join_fetch_s = float(self.params.get("join_fetch_s", 120.0))
+        self.join_write_s = float(self.params.get("join_write_s", 30.0))
+        self.leaked_threads = 0
         self.container_avi = False
         self._avi = None
         self._fh = None
@@ -59,6 +66,9 @@ class FileConsumer(Consumer):
         self._audio_q: queue.Queue = queue.Queue()
         self._threads: list[threading.Thread] = []
         self._stop = threading.Event()
+        # set when the fetch thread can write no more ring frames (it
+        # returned, or release abandoned it): the writer's exit gate
+        self._fetch_done = threading.Event()
 
     async def initialise(self, fmt) -> None:
         await super().initialise(fmt)
@@ -178,11 +188,24 @@ class FileConsumer(Consumer):
         this tunnel), so per-frame syncs cap throughput at ~1/RTT.
         Frames are stacked on-device (async dispatch) and pulled with
         one sync per plane per batch."""
+        try:
+            self._fetch_impl()
+        finally:
+            # happens-after every ring write this thread will ever
+            # make: the writer may now exit once the ring runs dry
+            self._fetch_done.set()
+
+    def _fetch_impl(self) -> None:
         import jax.numpy as jnp
 
         stopping = False
         while not stopping:
-            item = self._q.get()
+            try:
+                item = self._q.get(timeout=0.25)
+            except queue.Empty:
+                if self._stop.is_set():  # abandoned by release()
+                    return
+                continue
             if item is _STOP:
                 return
             batch = [item]
@@ -231,7 +254,11 @@ class FileConsumer(Consumer):
         while True:
             buf = self._ring.try_read() if self._ring else None
             if buf is None:
-                if self._stop.is_set() and self._q.empty():
+                # exit only once the FETCH side is done and the ring is
+                # dry: the old `_stop and _q.empty()` gate raced the
+                # fetch thread's last in-flight frame (queue drained,
+                # ring not yet written) and dropped the recording tail
+                if self._fetch_done.is_set():
                     return
                 self._stop.wait(0.001)
                 continue
@@ -268,14 +295,31 @@ class FileConsumer(Consumer):
         if self._fh is None:
             return
         # drain: stop accepting, let the fetch thread finish the queue,
-        # then the writer sees stop+empty and exits after the ring drains
+        # then the writer exits once the fetch is done AND the ring is dry
         self._q.put(_STOP)
-        if self._threads:
-            self._threads[0].join(timeout=30)
-        self._stop.set()
-        if len(self._threads) > 1:
-            self._threads[1].join(timeout=30)
+        fetch = self._threads[0] if self._threads else None
+        writer = self._threads[1] if len(self._threads) > 1 else None
+        if fetch is not None:
+            fetch.join(timeout=self.join_fetch_s)
+            if fetch.is_alive():
+                # fetch wedged past its budget (stalled tunnel / compile
+                # service): abort its spins and abandon the drain — but
+                # NEVER close the ring/files under the live thread (that
+                # was a use-after-free: empty output + in-thread crash)
+                self._stop.set()
+                self._fetch_done.set()  # writer may finish what arrived
+                fetch.join(timeout=5)
+        if writer is not None:
+            writer.join(timeout=self.join_write_s)
+        self.leaked_threads = sum(t.is_alive() for t in self._threads)
         self._threads = []
+        if self.leaked_threads:
+            # a wedged daemon thread still holds the ring and file
+            # handles: leak them (process cleanup at exit) rather than
+            # corrupt state under it; mark the consumer closed so the
+            # channel stops delivering
+            self._fh = None
+            return
         if not self.container_avi:
             self._drain_audio()
         if self._ring is not None:

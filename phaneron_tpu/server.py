@@ -28,6 +28,7 @@ from .control.osc import Osc
 from .producer.avi_file import create_avi_producer
 from .producer.wav_file import create_wav_producer
 from .producer.ffmpeg import create_ffmpeg_producer
+from .producer.image_seq import create_image_seq_producer
 from .producer.mjpeg import create_mjpeg_producer
 from .producer.producer import ProducerRegistry
 from .producer.sdi_capture import create_sdi_capture_producer
@@ -74,6 +75,7 @@ class PhaneronServer:
                 create_mjpeg_producer,
                 create_avi_producer,
                 create_wav_producer,
+                create_image_seq_producer,
                 create_raw_file_producer,
                 create_ffmpeg_producer,
             ]

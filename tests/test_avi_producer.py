@@ -233,6 +233,51 @@ def test_mjpg_fixture_plays_end_to_end():
     assert a0.sample_rate == 48000
 
 
+def test_mjpg_420_subsampled_plays(tmp_path):
+    """MJPG with 4:2:0 chroma subsampling (what real camera MJPEG
+    emits, vs the committed fixture's 4:4:4) decodes through the same
+    dispatch — PIL handles the subsampled scan natively
+    (ffmpegProducer.ts:393-466 codec breadth)."""
+    import io as _io
+
+    from PIL import Image
+
+    w, h = 96, 64
+    chunks, want = [], []
+    for k in range(4):
+        rgb = np.zeros((h, w, 3), np.uint8)
+        rgb[:, :, 0] = 30 * k + 20
+        rgb[:, :, 1] = 200 - 30 * k
+        rgb[:, :, 2] = 90
+        want.append(rgb)
+        buf = _io.BytesIO()
+        Image.fromarray(rgb).save(buf, "JPEG", quality=92, subsampling="4:2:0")
+        chunks.append(buf.getvalue())
+    p = tmp_path / "cam420.avi"
+    write_avi(p, chunks, "MJPG", w, h, 25.0)
+    assert read_avi(p).video.fourcc == "MJPG"
+
+    async def drive():
+        prod = AviProducer("1-1", LoadParams(url=str(p)), FMT)
+        await prod.initialise()
+        vs = prod.video_stream()
+        got = []
+        while True:
+            f = await vs.next()
+            if f is END:
+                break
+            got.append(np.asarray(f.payload[0]))
+        prod.release()
+        return got
+
+    got = run_async(drive())
+    assert len(got) == 4
+    for k, px in enumerate(got):
+        assert px.shape == (h, w, 4)
+        centre = px[h // 2, w // 2, :3].astype(np.int32)
+        assert np.abs(centre - want[k][h // 2, w // 2].astype(np.int32)).max() <= 12
+
+
 def test_record_avi_and_replay_roundtrip(tmp_path):
     """Record a live channel to an .avi (FileConsumer + AviWriter),
     then re-ingest the SAME file with AviProducer — container-level
