@@ -35,6 +35,7 @@ from ..ops.formats import get_format
 from ..ops.geometry import warp_affine, warp_axis_aligned
 from ..ops.pallas_yadif import make_yadif_ring_program, yadif_ring_fits
 from ..ops.yadif import yadif_frame
+from ..runtime.frame import RGBA_F32
 
 __all__ = [
     "LayerSpec",
@@ -628,46 +629,65 @@ def _top_alpha_fixup(rgba, spec: "ChannelSpec", params: dict, top_li: int):
     return jnp.where(ch == 3, a[None], rgba)
 
 
-def _packed_composite_layer_ok(ls: LayerSpec, lp: dict) -> bool:
-    """Per-layer eligibility for the all-layers packed kernel: a
-    bucketed axis-aligned DVE from host-split v210 planes at channel
-    geometry, as a cut or same-matrix dissolve."""
+def _packed_composite_layer_kind(
+    ls: LayerSpec, lp: dict, spec: ChannelSpec
+) -> str | None:
+    """Per-layer eligibility + source kind for the all-layers packed
+    kernel: a bucketed axis-aligned DVE at channel geometry, as a cut
+    or same-matrix dissolve, from either host-split v210 word planes
+    ('packed': decoded inside the window) or opaque (3, H, W) f32
+    frames ('rgb3': deinterlaced fields, non-v210 unpacks — the HD
+    interlaced default load's composite shape).  None = staged path."""
     if ls.transition not in ("none", "dissolve"):
-        return False
+        return None
     if not (ls.has_transform and ls.axis_aligned and ls.warp_bucket >= 0):
-        return False
+        return None
     if ls.deinterlace or ls.src_size is not None:
-        return False
-    if ls.src_format != "v210":
-        return False
-    wa = lp.get("src")
-    if wa is None or wa[0].ndim != 3:
-        return False
+        return None
+    if ls.transition == "dissolve" and not ls.warp_same_mat:
+        return None
+
+    def kind_of(fmt, wa):
+        if fmt == "v210":
+            if (
+                isinstance(wa, (list, tuple))
+                and wa
+                and getattr(wa[0], "ndim", 0) == 3
+            ):
+                return "packed"
+            return None
+        if fmt == RGBA_F32 and getattr(wa, "shape", None) == (
+            3, spec.height, spec.width,
+        ):
+            return "rgb3"
+        return None
+
+    kind = kind_of(ls.src_format, lp.get("src"))
+    if kind is None:
+        return None
     if ls.transition == "dissolve":
-        if not ls.warp_same_mat:
-            return False
-        if (ls.src_b_format or ls.src_format) != "v210":
-            return False
-        wb = lp.get("src_b")
-        if wb is None or wb[0].ndim != 3:
-            return False
-    return True
+        if kind_of(ls.src_b_format or ls.src_format, lp.get("src_b")) != kind:
+            return None
+    return kind
 
 
 def _packed_composite_run(spec: ChannelSpec, params: dict):
-    """The packed composite's dispatch plan: (start, end, emit) or None.
+    """The packed composite's dispatch plan: (start, end, emit, kind)
+    or None.
 
     Instead of the round-4 all-or-nothing gate (one rotation, wipe,
     distinct-matrix dissolve or non-v210 source silently dropped the
     WHOLE channel to the staged path), the longest CONTIGUOUS run of
-    eligible layers (>= 2) runs in the one-kernel composite.  When the
-    run is the whole stack into a v210-only output, emit is 'packed'
-    (or 'both' for emit_rgba channels — a ROUTE tap no longer evicts
-    the fast path); otherwise the run emits its composited RGBA (with
-    over-accumulated alpha) and the staged path composites the
-    straggler layers around it — premultiplied 'over' is associative,
-    so folding a contiguous run into one (rgb, alpha) pair is the same
-    composite (~2^-17 rounding-order class)."""
+    eligible layers (>= 2) of ONE source kind ('packed' v210 word
+    planes or 'rgb3' opaque f32 fields) runs in the one-kernel
+    composite.  When the run is the whole stack into a v210-only
+    output, emit is 'packed' (or 'both' for emit_rgba channels — a
+    ROUTE tap no longer evicts the fast path); otherwise the run emits
+    its composited RGBA (with over-accumulated alpha) and the staged
+    path composites the straggler layers around it — premultiplied
+    'over' is associative, so folding a contiguous run into one
+    (rgb, alpha) pair is the same composite (~2^-17 rounding-order
+    class)."""
     if not (
         ENABLE_PACKED_COMPOSITE
         and ENABLE_PACKED_WARP
@@ -676,18 +696,18 @@ def _packed_composite_run(spec: ChannelSpec, params: dict):
         and spec.layers
     ):
         return None
-    elig = [
-        _packed_composite_layer_ok(ls, lp)
+    kinds = [
+        _packed_composite_layer_kind(ls, lp, spec)
         for ls, lp in zip(spec.layers, params["layers"])
     ]
     best = None
-    i, n = 0, len(elig)
+    i, n = 0, len(kinds)
     while i < n:
-        if not elig[i]:
+        if kinds[i] is None:
             i += 1
             continue
         j = i
-        while j < n and elig[j]:
+        while j < n and kinds[j] == kinds[i]:
             j += 1
         if best is None or (j - i) > (best[1] - best[0]):
             best = (i, j)
@@ -695,6 +715,7 @@ def _packed_composite_run(spec: ChannelSpec, params: dict):
     if best is None or best[1] - best[0] < 2:
         return None
     start, end = best
+    kind = kinds[start]
     if (start, end) == (0, n) and spec.out_format == "v210":
         emit = "both" if spec.emit_rgba else "packed"
     else:
@@ -703,25 +724,28 @@ def _packed_composite_run(spec: ChannelSpec, params: dict):
 
     bucket = max(ls.warp_bucket for ls in spec.layers[start:end])
     if not packed_composite_fits(
-        spec.height, spec.width, bucket, end - start, emit=emit
+        spec.height, spec.width, bucket, end - start, emit=emit, src_kind=kind
     ):
         if emit == "both" and packed_composite_fits(
-            spec.height, spec.width, bucket, end - start, emit="rgba"
+            spec.height, spec.width, bucket, end - start, emit="rgba",
+            src_kind=kind,
         ):
             # the dual-output plan doesn't fit VMEM: emit rgba from the
             # kernel and pack it on the staged tail instead
-            return (start, end, "rgba")
+            return (start, end, "rgba", kind)
         return None
-    return (start, end, emit)
+    return (start, end, emit, kind)
 
 
 def _dispatch_packed_composite(
-    spec: ChannelSpec, params: dict, start: int, end: int, emit: str
+    spec: ChannelSpec, params: dict, start: int, end: int, emit: str,
+    kind: str = "packed",
 ):
     """Build and invoke the one-kernel composite over layers
-    [start, end) with the given emit mode."""
+    [start, end) with the given emit mode and source kind."""
     from ..ops.pallas_packed_warp import (
         _composite_config,
+        _padded_geometry,
         composite_cchunk,
         make_packed_composite_program,
     )
@@ -732,12 +756,12 @@ def _dispatch_packed_composite(
     layer_cfg = tuple(2 if ls.transition == "dissolve" else 1 for ls in layers)
     bucket = max(ls.warp_bucket for ls in layers)
     cc = PACKED_CCHUNK or composite_cchunk(
-        h, w, bucket, len(layers), PACKED_SEXTET_SPLIT
+        h, w, bucket, len(layers), PACKED_SEXTET_SPLIT, kind
     )
     if (
-        w % cc
+        _padded_geometry(w)[2] % cc
         or _composite_config(
-            h, w, bucket, len(layers), cc, PACKED_SEXTET_SPLIT, emit
+            h, w, bucket, len(layers), cc, PACKED_SEXTET_SPLIT, emit, kind
         )
         is None
     ):
@@ -751,12 +775,13 @@ def _dispatch_packed_composite(
         poly_gamma=PACKED_POLY_GAMMA,
         sextet_split=PACKED_SEXTET_SPLIT,
         emit=emit,
+        src_kind=kind,
     )
     srcs, mats, mixes = [], [], []
     for ls, lp in zip(layers, lparams):
-        srcs.append(lp["src"][0])
+        srcs.append(lp["src"] if kind == "rgb3" else lp["src"][0])
         if ls.transition == "dissolve":
-            srcs.append(lp["src_b"][0])
+            srcs.append(lp["src_b"] if kind == "rgb3" else lp["src_b"][0])
             mixes.append(jnp.asarray(lp["mix"], jnp.float32))
         else:
             mixes.append(jnp.float32(1.0))
@@ -776,7 +801,9 @@ def _channel_frame(spec: ChannelSpec, params: dict):
         # composited RGBA when a ROUTE tap needs it).
         from ..ops.pallas_kernels import planes_to_words
 
-        out = _dispatch_packed_composite(spec, params, run[0], run[1], run[2])
+        out = _dispatch_packed_composite(
+            spec, params, run[0], run[1], run[2], run[3]
+        )
         if run[2] == "packed":
             return [planes_to_words(out)]
         planes, rgba = out
@@ -834,7 +861,9 @@ def _channel_frame(spec: ChannelSpec, params: dict):
                     # layers (rotation / wipe / distinct-matrix /
                     # non-v210) composite around it on this staged path
                     layer_frames.append(
-                        _dispatch_packed_composite(spec, params, run[0], run[1], "rgba")
+                        _dispatch_packed_composite(
+                            spec, params, run[0], run[1], "rgba", run[3]
+                        )
                     )
                 continue
             layer_frames.append(_process_layer(ls, lp, spec, pre, li))

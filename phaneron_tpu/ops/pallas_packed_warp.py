@@ -501,6 +501,22 @@ def _make_program(
 # (768 = 6*128, pallas_kernels._v210_pack_weights).
 
 
+def _padded_geometry(width: int):
+    """(g_real, gp, wpad): the v210 group count, its 128-aligned pad,
+    and the padded pixel width the kernel lays its lanes out over.
+
+    UHD/8K widths divide the 768 = 6*128 sextet structure exactly
+    (gp == g, wpad == width).  HD does not (1920 px = 320 groups), so
+    the kernel runs at the padded geometry (384 groups = 2304 px): the
+    pad is pitch-tail semantics — padded source groups decode to
+    finite garbage that every warp weight zeroes by the REAL-width
+    bounds check, padded output columns warp to zero and encode as
+    black, and the wrapper crops both emits back to real geometry."""
+    g = v210fmt.pitch(width) // 6
+    gp = _ceil_to(g, 128)
+    return g, gp, 6 * gp
+
+
 def _composite_config(
     height: int,
     width: int,
@@ -509,6 +525,7 @@ def _composite_config(
     cchunk: int = COL_CHUNK,
     sextet_split: bool = False,
     emit: str = "packed",
+    src_kind: str = "packed",
 ):
     """Row-block plan for the all-layers kernel; None = fall back.
 
@@ -522,20 +539,25 @@ def _composite_config(
 
     ``emit`` sizes the output legs: 'packed' (v210 word planes),
     'rgba' (the composited (4,H,W) f32 frame + its accumulated alpha —
-    straggler composition and ROUTE taps), or 'both'."""
-    g = v210fmt.pitch(width) // 6
-    if width % cchunk or width % 48 or g % 128 or height % 8:
+    straggler composition and ROUTE taps), or 'both'.
+
+    ``src_kind``: 'packed' (host-split v210 word planes, decoded in
+    the window) or 'rgb3' ((3,H,W) f32 frames — deinterlaced fields,
+    non-v210 unpacks; the decode stage is a plain bf16 hi/lo window
+    split)."""
+    g, gp, wpad = _padded_geometry(width)
+    if wpad % cchunk or width % 48 or width % 128 or height % 8:
         return None
     bound, preferred = BUCKET_BOUNDS[bucket]
-    gp = _ceil_to(g, 128)
-    g2p = _ceil_to(g + 152, 128)  # sextet decode window tail
-    win_c = min(_ceil_to(bound * (cchunk - 1) + 2 + 127, 128), width)
+    g2p = _ceil_to(gp + 152, 128)  # sextet decode window tail
+    win_c = min(_ceil_to(bound * (cchunk - 1) + 2 + 127, 128), wpad)
+    rgb3 = src_kind == "rgb3"
 
     # sextet_split deletes the full-window phase-plane buffer (the split
     # happens per 256-lane sextet window on the VPU instead), freeing
     # ~2 MB — enough for the next rpb rung (less decode overlap).  Its
     # ladder therefore starts at 48.
-    ladder = (48, preferred, 32, 24, 16, 8) if sextet_split else (
+    ladder = (48, preferred, 32, 24, 16, 8) if (sextet_split or rgb3) else (
         preferred, 32, 24, 16, 8
     )
     for rpb_pref in ladder:
@@ -543,16 +565,29 @@ def _composite_config(
         win_r = min(_ceil_to(bound * (rpb - 1) + 10, 8), _ceil_to(height, 8))
         # the alpha plane never rides in the window: warp(1) is the
         # separable rowsum(rw) x colsum(cw), so every buffer is 3-channel
-        total = (
+        if rgb3:
+            # f32 rgb source windows, no phase planes, no sextet stack
+            winbuf = 2 * 3 * win_r * wpad * 4
+            vals = 0
+            sext = 0
+        else:
             # DOUBLE-BUFFERED packed windows (+128-lane zero tail for
             # the in-sextet split's window reach)
-            2 * 4 * win_r * (gp + (128 if sextet_split else 0)) * 4
+            winbuf = 2 * 4 * win_r * (gp + (128 if sextet_split else 0)) * 4
             # phase planes hi/lo (none persisted when split per sextet)
-            + (0 if sextet_split else 2 * 12 * win_r * g2p * 2)
-            + 2 * 3 * win_r * width * 2  # decoded window hi/lo (rgb)
-            + 2 * 3 * rpb * width * 2  # rows2 (rgb)
+            vals = 0 if sextet_split else 2 * 12 * win_r * g2p * 2
+            sext = 24 * win_r * 256 * 2 + (  # sextet decode windows (stack)
+                # in-sextet split temporaries (12 int32 phase planes live)
+                12 * win_r * 256 * 4 if sextet_split else 0
+            )
+        total = (
+            winbuf
+            + vals
+            + sext
+            + 2 * 3 * win_r * wpad * 2  # decoded window hi/lo (rgb)
+            + 2 * 3 * rpb * wpad * 2  # rows2 (rgb)
             + 2 * 3 * rpb * win_c * 2  # flat2 (rgb)
-            + 3 * rpb * width * 4  # composite accumulator (rgb only:
+            + 3 * rpb * wpad * 4  # composite accumulator (rgb only:
             # 'over' needs the TOP layer's separable alpha and the
             # pack ignores alpha, so none is ever stored — unless the
             # frame EMITS rgba, which adds an alpha accumulator)
@@ -562,11 +597,8 @@ def _composite_config(
             # double-buffered out word planes
             + (2 * 4 * rpb * gp * 4 if emit != "rgba" else 0)
             # double-buffered rgba out + the alpha accumulator
-            + (2 * 4 * rpb * width * 4 + rpb * width * 4 if emit != "packed" else 0)
+            + (2 * 4 * rpb * wpad * 4 + rpb * wpad * 4 if emit != "packed" else 0)
             + 2 * win_c * cchunk * 2  # cw (rebuilt per chunk)
-            + 24 * win_r * 256 * 2  # sextet decode windows (stack)
-            # in-sextet split temporaries (12 int32 phase planes live)
-            + (12 * win_r * 256 * 4 if sextet_split else 0)
             + 1 * 1024 * 1024  # Mosaic stack slop (calibrated on HW:
             # UHD rpb 40 measures 15.9M actual vs ~14.9M accounted)
             # wider column chunks keep proportionally more column-pass
@@ -583,12 +615,19 @@ def _composite_config(
 
 
 def packed_composite_fits(
-    height: int, width: int, bucket: int, n_layers: int, emit: str = "packed"
+    height: int,
+    width: int,
+    bucket: int,
+    n_layers: int,
+    emit: str = "packed",
+    src_kind: str = "packed",
 ) -> bool:
     if bucket < 0:
         return False
     return (
-        _composite_config(height, width, bucket, n_layers, emit=emit)
+        _composite_config(
+            height, width, bucket, n_layers, emit=emit, src_kind=src_kind
+        )
         is not None
     )
 
@@ -599,15 +638,18 @@ def composite_cchunk(
     bucket: int,
     n_layers: int,
     sextet_split: bool = False,
+    src_kind: str = "packed",
 ) -> int:
     """Column-pass chunk width for the composite: the widest chunk the
     frame divides into whose VMEM plan still fits (FLOPs per output
     pixel fall with chunk width; see _composite_config)."""
+    wpad = _padded_geometry(width)[2]
     for cchunk in (384, 256):
         if (
-            width % cchunk == 0
+            wpad % cchunk == 0
             and _composite_config(
-                height, width, bucket, n_layers, cchunk, sextet_split
+                height, width, bucket, n_layers, cchunk, sextet_split,
+                src_kind=src_kind,
             )
             is not None
         ):
@@ -628,6 +670,7 @@ def make_packed_composite_program(
     poly_gamma: bool = False,
     sextet_split: bool = False,
     emit: str = "packed",
+    src_kind: str = "packed",
     _ablate: str = "",
 ):
     """fn(srcs, mats (L,3,3), mixes (L,)) -> packed v210 word planes
@@ -662,11 +705,21 @@ def make_packed_composite_program(
     every stage's decode overlap.  Bit-compatible: the same planes
     reach deint6 either way.
 
-    ``srcs``: flat host-split (4, H, G) uint32 word-plane arrays,
-    layers bottom..top, each layer contributing n_src sources (a
-    dissolve pair shares its layer matrix — warp_same_mat).  Error
-    class: the pair-warp bf16 hi/lo split (~2^-17, <=1 packed code vs
-    the staged path).
+    ``srcs``: flat host-split (4, H, G) uint32 word-plane arrays
+    (src_kind 'packed') or (3, H, W) f32 opaque frames (src_kind
+    'rgb3' — deinterlaced fields, non-v210 unpacks), layers
+    bottom..top, each layer contributing n_src sources (a dissolve
+    pair shares its layer matrix — warp_same_mat).  Error class: the
+    pair-warp bf16 hi/lo split (~2^-17, <=1 packed code vs the staged
+    path).
+
+    HD widths run at PADDED internal geometry (_padded_geometry:
+    1920 px -> 384 groups -> 2304 lanes).  Packed sources are
+    zero-padded to the padded group count by the wrapper (they decode
+    to finite garbage that the real-width bounds check zero-weights);
+    rgb3 windows carry a zeroed lane tail; padded output columns warp
+    to zero, encode as black, and both emits are cropped back to real
+    geometry before returning.
 
     ``_ablate`` (measurement only, never set by the pipeline) drops
     named stages so tools can attribute the kernel's time:
@@ -679,21 +732,25 @@ def make_packed_composite_program(
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     assert emit in ("packed", "rgba", "both")
+    assert src_kind in ("packed", "rgb3")
     assert emit == "packed" or not _ablate, "ablation is packed-only"
+    assert src_kind == "packed" or not _ablate, "ablation is packed-only"
+    rgb3 = src_kind == "rgb3"
     cfg = _composite_config(
-        height, width, bucket, len(layer_cfg), cchunk, sextet_split, emit
+        height, width, bucket, len(layer_cfg), cchunk, sextet_split, emit,
+        src_kind,
     )
     assert cfg is not None, "caller gates on packed_composite_fits"
     rpb, win_r, win_c, _ = cfg
     n_blocks = height // rpb
-    n_chunks = width // COL_CHUNK
-    n_cchunks = width // cchunk
-    g = v210fmt.pitch(width) // 6
+    g_real, g, wpad = _padded_geometry(width)
+    n_chunks = wpad // COL_CHUNK
+    n_cchunks = wpad // cchunk
     # zero tail sized for the SEXTET decode windows: a (win_r, 256)
     # window at the last 128-aligned group base reaches g + 152
     g2 = g + 152
     n_gchunks = g // 128
-    n_sext = n_chunks // 6  # width % 768 == 0 (packed_composite_fits)
+    n_sext = n_chunks // 6  # wpad % 768 == 0 by construction
     L = len(layer_cfg)
     src_layer: list[int] = []
     src_role: list[int] = []
@@ -741,11 +798,20 @@ def make_packed_composite_program(
         def window_dma(block, s, slot):
             m = src_layer[s]
             r0 = pl.multiple_of(row_off_ref[m, block], 8)
-            dst = (
-                winbuf.at[slot, :, :, pl.ds(0, g)]
-                if sextet_split  # zero tail beyond g persists untouched
-                else winbuf.at[slot]
-            )
+            if rgb3:
+                # f32 rgb window; the [width, wpad) lane tail persists
+                # zero (black) from the first-block init
+                dst = (
+                    winbuf.at[slot, :, :, pl.ds(0, width)]
+                    if wpad > width
+                    else winbuf.at[slot]
+                )
+            else:
+                dst = (
+                    winbuf.at[slot, :, :, pl.ds(0, g)]
+                    if sextet_split  # zero tail beyond g persists untouched
+                    else winbuf.at[slot]
+                )
             return pltpu.make_async_copy(
                 src_refs[s].at[:, pl.ds(r0, win_r), :], dst, sem.at[slot]
             )
@@ -773,9 +839,14 @@ def make_packed_composite_program(
             window_dma(0, 0, 0).start()
             if dbuf:
                 window_dma(0, 1, 1).start()
-            # zero the sextet-reach tail ONCE: DMAs only ever write
-            # [:g], and scratch persists across grid steps
-            if sextet_split:
+            # zero the window tails ONCE: DMAs only ever write the real
+            # extent, and scratch persists across grid steps
+            if rgb3:
+                if wpad > width:
+                    winbuf[:, :, :, width:] = jnp.zeros(
+                        (2, 3, win_r, wpad - width), jnp.float32
+                    )
+            elif sextet_split:
                 winbuf[:, :, :, g:] = jnp.zeros(
                     (2, 4, win_r, 128), jnp.uint32
                 )
@@ -828,6 +899,30 @@ def make_packed_composite_program(
                 )
 
         def decode_chunks(slot, gain=None, accumulate=False):
+            if rgb3:
+                # no decode: the window is already linear rgb f32 —
+                # split (and premix) it into the bf16 hi/lo pair the
+                # warp matmuls consume, one 128-lane chunk per step
+                def chunk3(u, _):
+                    sl = pl.ds(pl.multiple_of(u * 128, 128), 128)
+                    for c in range(3):
+                        val = winbuf[slot, c, :, sl]
+                        if gain is not None:
+                            val = val * gain
+                        if accumulate:
+                            val = val + (
+                                win2[0, c, :, sl].astype(jnp.float32)
+                                + win2[1, c, :, sl].astype(jnp.float32)
+                            )
+                        hi = val.astype(jnp.bfloat16)
+                        lo = (val - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                        win2[0, c, :, sl] = hi
+                        win2[1, c, :, sl] = lo
+                    return 0
+
+                jax.lax.fori_loop(0, n_chunks, chunk3, 0)
+                return
+
             # fori over SEXTETS of chunks: chunk j = 6u + k has group
             # base 128u + (128k)//6 and chroma base 128u + (64k)//3 —
             # the dynamic part is 128-ALIGNED (Mosaic-legal window
@@ -913,7 +1008,7 @@ def make_packed_composite_program(
                 s = s0 + role
                 slot = slot_of(i, s)
                 window_dma(i, s, slot).wait()
-                if not (ab_nosplit or sextet_split):
+                if not (ab_nosplit or sextet_split or rgb3):
                     decode_window(slot)
 
                 def refill(s=s):
@@ -930,7 +1025,7 @@ def make_packed_composite_program(
                         def _():
                             window_dma(i + 1, t - S, slot_of(i + 1, t - S)).start()
 
-                if not sextet_split:
+                if not (sextet_split or rgb3):
                     # the phase split copied the window out: the slot
                     # is free before the chunk decode runs
                     refill()
@@ -945,7 +1040,7 @@ def make_packed_composite_program(
                     )
                 else:
                     decode_chunks(slot)
-                if sextet_split:
+                if sextet_split or rgb3:
                     # the chunk decode read winbuf directly: only now
                     # is the slot free to overwrite
                     refill()
@@ -1083,7 +1178,7 @@ def make_packed_composite_program(
             + (
                 [
                     pl.BlockSpec(
-                        (4, rpb, width), lambda i, *_: (0, i, 0),
+                        (4, rpb, wpad), lambda i, *_: (0, i, 0),
                         memory_space=pltpu.VMEM,
                     )
                 ]
@@ -1092,24 +1187,29 @@ def make_packed_composite_program(
             )
         ),
         scratch_shapes=[
-            pltpu.VMEM(
+            # source windows: f32 rgb frames (rgb3) or u32 word planes
+            pltpu.VMEM((2, 3, win_r, wpad), jnp.float32)
+            if rgb3
+            else pltpu.VMEM(
                 (2, 4, win_r, g + (128 if sextet_split else 0)), jnp.uint32
             ),
             # full-window phase planes, or a placeholder when the split
-            # happens per sextet window
+            # happens per sextet window (or there is no decode at all)
             pltpu.VMEM(
-                (1, 1, 8, 128) if sextet_split else (2, 12, win_r, g2),
+                (1, 1, 8, 128)
+                if (sextet_split or rgb3)
+                else (2, 12, win_r, g2),
                 jnp.bfloat16,
             ),
-            pltpu.VMEM((2, 3, win_r, width), jnp.bfloat16),
-            pltpu.VMEM((2, 3, rpb, width), jnp.bfloat16),
+            pltpu.VMEM((2, 3, win_r, wpad), jnp.bfloat16),
+            pltpu.VMEM((2, 3, rpb, wpad), jnp.bfloat16),
             pltpu.VMEM((2, 3, rpb, win_c), jnp.bfloat16),
-            pltpu.VMEM((3, rpb, width), jnp.float32),
+            pltpu.VMEM((3, rpb, wpad), jnp.float32),
             pltpu.VMEM((2, 3, rpb, 768), jnp.bfloat16),
             pltpu.VMEM((2, win_c, cchunk), jnp.bfloat16),
             pltpu.VMEM((1, cchunk), jnp.float32),
             # over-accumulated alpha (rgba emits only; else a stub)
-            pltpu.VMEM((rpb, width) if has_rgba else (8, 128), jnp.float32),
+            pltpu.VMEM((rpb, wpad) if has_rgba else (8, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -1119,7 +1219,7 @@ def make_packed_composite_program(
         out_shape=(
             [jax.ShapeDtypeStruct((height, g), jnp.uint32) for _ in range(n_packed_out)]
             + (
-                [jax.ShapeDtypeStruct((4, height, width), jnp.float32)]
+                [jax.ShapeDtypeStruct((4, height, wpad), jnp.float32)]
                 if has_rgba
                 else []
             )
@@ -1128,6 +1228,9 @@ def make_packed_composite_program(
     )
 
     def prologue(mats):
+        # texel maps over the REAL geometry (matrices are normalized to
+        # real width/height); padded output columns get an out-of-range
+        # map so every warp weight zeroes them -> comp pad stays black
         ix = (jnp.arange(width, dtype=jnp.float32) / width) - 0.5
         iy = (jnp.arange(height, dtype=jnp.float32) / height) - 0.5
         pxs, pys, row_offs, col_offs = [], [], [], []
@@ -1135,6 +1238,8 @@ def make_packed_composite_program(
             mat = mats[m]
             px = (mat[0, 0] * ix + mat[0, 2] + 0.5) * width - 0.5
             py = (mat[1, 1] * iy + mat[1, 2] + 0.5) * height - 0.5
+            if wpad > width:
+                px = jnp.pad(px, (0, wpad - width), constant_values=-10.0)
             blocks = jnp.arange(n_blocks) * rpb
             row_lo = jnp.minimum(py[blocks], py[blocks + rpb - 1])
             row_offs.append(
@@ -1153,7 +1258,7 @@ def make_packed_composite_program(
                     # slack at 127 lanes regardless of the chunk width
                     jnp.floor(col_lo).astype(jnp.int32) // 128 * 128,
                     0,
-                    max(width - win_c, 0),
+                    max(wpad - win_c, 0),
                 )
             )
             pxs.append(px)
@@ -1176,10 +1281,20 @@ def make_packed_composite_program(
         wy_j = jnp.asarray(wy_np, jnp.bfloat16)
         wc_j = jnp.asarray(wc_np, jnp.bfloat16)
         w6_j = jnp.asarray(w6_np, jnp.bfloat16)
-        outs = call(
-            row_off, py, px, col_off, mix_arr, wy_j, wc_j, w6_j,
-            *[s.astype(jnp.uint32) for s in srcs],
-        )
+        if rgb3:
+            ins = [s.astype(jnp.float32) for s in srcs]
+        else:
+            ins = [
+                jnp.pad(s.astype(jnp.uint32), ((0, 0), (0, 0), (0, g - g_real)))
+                if g > g_real
+                else s.astype(jnp.uint32)
+                for s in srcs
+            ]
+        outs = call(row_off, py, px, col_off, mix_arr, wy_j, wc_j, w6_j, *ins)
+        if g > g_real:  # crop the pitch-pad tail back to real geometry
+            outs = [
+                o[:, :g_real] if o.ndim == 2 else o[:, :, :width] for o in outs
+            ]
         if emit == "packed":
             return jnp.stack(outs)
         if emit == "rgba":

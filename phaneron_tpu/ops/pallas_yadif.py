@@ -127,14 +127,19 @@ def _dma_consts(hh: int, kb: int, n_blocks: int) -> _DmaConsts:
 
 def _window_streamer(
     tensors, auxes, plan, slots, sem, consts: _DmaConsts,
-    n_blocks: int, kb: int, W: int, dbl: bool,
+    n_blocks: int, kb: int, W: int, dbl: bool, ch0=None,
 ):
     """Window-DMA choreography shared by the single-field and pair
     kernels: dispatch each block's static DMA variant (plus the aux-tail
     top-up when hh % 8 != 0), double-buffered when ``dbl``.  ``plan`` is
     the kernel's window list as (buffer, tensor index, n channels,
-    field) tuples.  Returns stream(i) to call once per grid step."""
+    field) tuples; ``ch0`` (traced, channel-split kernels) offsets each
+    window's channel slice.  Returns stream(i) to call once per grid
+    step."""
     len_first, w0_last, rem, len_bulk = consts
+
+    def chs(nch):
+        return pl.ds(0 if ch0 is None else ch0, nch)
 
     def copies(kind, block):
         if kind == "first":
@@ -146,7 +151,7 @@ def _window_streamer(
             srow, drow = pl.ds(w0_last, len_bulk), pl.ds(0, len_bulk)
         cps = [
             pltpu.make_async_copy(
-                tensors[t].at[0:nch, srow, f * W : (f + 1) * W],
+                tensors[t].at[chs(nch), srow, f * W : (f + 1) * W],
                 buf.at[block % slots, :, drow, :],
                 sem,
             )
@@ -155,7 +160,7 @@ def _window_streamer(
         if kind == "last" and rem:
             cps += [
                 pltpu.make_async_copy(
-                    auxes[t].at[0:nch, pl.ds(0, 8), f * W : (f + 1) * W],
+                    auxes[t].at[chs(nch), pl.ds(0, 8), f * W : (f + 1) * W],
                     buf.at[block % slots, :, pl.ds(len_bulk, 8), :],
                     sem,
                 )
@@ -575,6 +580,17 @@ def _pair_config(height: int, width: int, channels: int = 4) -> _Cfg | None:
     )
 
 
+def _split_config(height: int, width: int) -> _Cfg | None:
+    """Channel-split pair plan (3-channel rings): each grid step windows
+    ONE channel's six half-planes (6 planes) and writes that channel of
+    both outputs (2 block-channels).  A third of the joint plan's window
+    VMEM buys a larger row block: at 1080i the joint plan is stuck at
+    kb=16 (2.0x halo read amplification) while the split plan reaches
+    kb=40 (1.4x) — the pair stage is the default load's dominant cost,
+    so the halo IS the lever."""
+    return _search_cfg(height // 2, width, 6, 2)
+
+
 def yadif_pair_fits(height: int, width: int, channels: int = 4) -> bool:
     return (
         width % 128 == 0
@@ -766,6 +782,171 @@ def _make_pair_kernel(
 
 
 @lru_cache(maxsize=None)
+def _make_pair_split_kernel(
+    height: int,
+    width: int,
+    tff: bool,
+    skip_spatial: bool,
+    interpret: bool,
+):
+    """Channel-split pair kernel (3-channel rings only): grid
+    (3, n_blocks), each step predicting one RGB channel of both field
+    ticks from six SINGLE-channel windows.  Bit-identical to the joint
+    pair kernel — the predictor never mixes channels, so splitting the
+    grid by channel changes scheduling only.  See _split_config for why:
+    a third of the window VMEM buys kb 16 -> 40 at 1080i (halo read
+    amplification 2.0x -> 1.4x on the load's dominant stage)."""
+    cfg = _split_config(height, width)
+    assert cfg is not None, "caller gates on yadif_pair_fits"
+    kb, dbl = cfg
+    hh = height // 2
+    n_blocks = -(-hh // kb)
+    assert n_blocks >= 2
+    alloc = kb + 16
+    slots = 2 if dbl else 1
+    W = width
+    consts = _dma_consts(hh, kb, n_blocks)
+    k0_last = (n_blocks - 1) * kb
+    rem = consts.rem
+    BASE = 8
+
+    def kernel(prev_ref, cur_ref, next_ref, aux_p, aux_c, aux_n,
+               out0_ref, out1_ref, wp0, wp1, wc0, wc1, wn0, wn1, sem):
+        c = pl.program_id(0)
+        i = pl.program_id(1)
+        tensors = (prev_ref, cur_ref, next_ref)
+        auxes = (aux_p, aux_c, aux_n)
+        wins = ((wp0, wp1), (wc0, wc1), (wn0, wn1))
+        plan = (
+            (wp0, 0, 1, 0), (wp1, 0, 1, 1),
+            (wc0, 1, 1, 0), (wc1, 1, 1, 1),
+            (wn0, 2, 1, 0), (wn1, 2, 1, 1),
+        )
+        _window_streamer(
+            tensors, auxes, plan, slots, sem, consts, n_blocks, kb, W, dbl,
+            ch0=c,
+        )(i)
+
+        slot = i % slots
+
+        def body(p):
+            q = 1 - p
+            is_second = (p ^ int(tff)) == 0
+            tC = 1 if is_second else 0
+            tH = 2 if is_second else 1
+            out_ref = (out0_ref, out1_ref)[p]
+            wp_par, wc_par, wn_par = wins[0][p], wins[1][p], wins[2][p]
+
+            def par_tap(buf, d, q=q):
+                r = BASE + q - 1 + (d + 1) // 2
+                return buf[slot, 0, r : r + kb, :]
+
+            def q_tap(t, d, q=q):
+                r = BASE + d
+                return wins[t][q][slot, 0, r : r + kb, :]
+
+            cu, cd = par_tap(wc_par, -1), par_tap(wc_par, 1)
+            spatial = _spatial(cu, cd, W)
+            pred = _temporal(
+                par_tap(wp_par, -1), par_tap(wp_par, 1),
+                q_tap(tC, -1), q_tap(tC, 0), q_tap(tC, 1),
+                cu, cd,
+                q_tap(tH, -1), q_tap(tH, 0), q_tap(tH, 1),
+                par_tap(wn_par, -1), par_tap(wn_par, 1),
+                spatial, skip_spatial,
+            )
+            out_ref[0, :, q * W : (q + 1) * W] = pred
+            out_ref[0, :, p * W : (p + 1) * W] = wc_par[
+                slot, 0, BASE : BASE + kb, :
+            ]
+
+        body(0)
+        body(1)
+
+        def fix_row(p, k_local, k0):
+            # the one predicted row per frame edge whose row taps clamp;
+            # every (tensor, field) plane is windowed, so no patch DMA
+            q = 1 - p
+            is_second = (p ^ int(tff)) == 0
+            tC = 1 if is_second else 0
+            tH = 2 if is_second else 1
+            out_ref = (out0_ref, out1_ref)[p]
+            y = 2 * (k0 + k_local) + q
+
+            def ctap(t, d):
+                g = min(max(y + d, 0), height - 1)
+                f, j = g % 2, g // 2
+                r = BASE + (j - k0)
+                return wins[t][f][slot, 0, r : r + 1, :]
+
+            ccu, ccd = ctap(1, -1), ctap(1, 1)
+            sp = _spatial(ccu, ccd, W)
+            pr = _temporal(
+                ctap(0, -1), ctap(0, 1),
+                ctap(tC, -2), ctap(tC, 0), ctap(tC, 2),
+                ccu, ccd,
+                ctap(tH, -2), ctap(tH, 0), ctap(tH, 2),
+                ctap(2, -1), ctap(2, 1),
+                sp, skip_spatial,
+            )
+            out_ref[0, k_local : k_local + 1, q * W : (q + 1) * W] = pr
+
+        @pl.when(i == 0)
+        def _top():
+            fix_row(0, 0, 0)
+            fix_row(1, 0, 0)
+
+        @pl.when(i == n_blocks - 1)
+        def _bottom():
+            fix_row(0, hh - 1 - k0_last, k0_last)
+            fix_row(1, hh - 1 - k0_last, k0_last)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(3, n_blocks),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY) for _ in range(6)],
+        out_specs=[
+            pl.BlockSpec(
+                (1, kb, 2 * W), lambda c, i: (c, i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, kb, 2 * W), lambda c, i: (c, i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((slots, 1, alloc, W), jnp.float32) for _ in range(6)
+        ]
+        + [pltpu.SemaphoreType.DMA],
+    )
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((3, hh, 2 * W), jnp.float32),
+            jax.ShapeDtypeStruct((3, hh, 2 * W), jnp.float32),
+        ],
+        interpret=interpret,
+    )
+
+    def run(prev, cur, next_):
+        planes = [x.reshape(3, hh, 2 * W) for x in (prev, cur, next_)]
+        if rem:
+            auxes = [
+                jnp.pad(x[:, hh - rem :, :], ((0, 0), (0, 8 - rem), (0, 0)))
+                for x in planes
+            ]
+        else:
+            auxes = [x[:, hh - 8 :, :] for x in planes]
+        o0, o1 = call(*planes, *auxes)
+        return (
+            o0.reshape(3, height, W),
+            o1.reshape(3, height, W),
+        )
+
+    return run
+
+
+@lru_cache(maxsize=None)
 def make_yadif_pair_program(
     height: int,
     width: int,
@@ -774,6 +955,7 @@ def make_yadif_pair_program(
     interpret: bool | None = None,
     opaque: bool = False,
     channels: int = 4,
+    channel_split: bool = False,
 ):
     """fn(prev, cur, next_ (C,H,W) f32) -> (out_parity0, out_parity1).
 
@@ -781,9 +963,25 @@ def make_yadif_pair_program(
     parity 0 / 1 on the same ring; one launch and one ring read serve
     both field ticks of the frame period (the yadifCl.ts send_field
     cadence).  Callers order the pair by tff: the FIRST emitted field's
-    parity is 0 when tff else 1 (runtime/layer.py parity law)."""
+    parity is 0 when tff else 1 (runtime/layer.py parity law).
+
+    ``channel_split`` dispatches the channel-split grid variant
+    (bit-identical, tests assert it).  Kept OFF: despite cutting the
+    window halo read amplification 2.0x -> 1.4x at 1080i (kb 16 -> 40),
+    it measured SLOWER on hardware — 0.477 vs 0.444 ms/pair in an
+    8-launch chain step — so the kernel is not read-bandwidth-bound
+    and the 3x finer grid/DMA granularity costs more than the halo
+    saves.  Measured 2026-08-20, v5e via tunnel."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    if (
+        channel_split
+        and channels == 3
+        and _split_config(height, width) is not None
+    ):
+        return _make_pair_split_kernel(
+            height, width, tff, skip_spatial, interpret
+        )
     return _make_pair_kernel(
         height, width, tff, skip_spatial, interpret, opaque, channels
     )

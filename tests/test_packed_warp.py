@@ -233,6 +233,162 @@ def test_pitch_padded_width():
     assert np.abs(want - got).max() <= 1e-4, np.abs(want - got).max()
 
 
+def test_packed_composite_padded_width_matches_staged():
+    """HD-class width (group count NOT a 128 multiple): the kernel runs
+    at the padded internal geometry (_padded_geometry: 1152 px = 192
+    groups -> 256 groups = 1536 lanes), pads the word planes, and crops
+    the emit — output must still match the XLA channel program to <=1
+    packed code at the REAL geometry."""
+    from phaneron_tpu.graph.pipeline import (
+        ChannelSpec,
+        LayerSpec,
+        make_channel_program,
+    )
+    from phaneron_tpu.ops.pallas_kernels import planes_to_words
+    from phaneron_tpu.ops.pallas_packed_warp import (
+        _padded_geometry,
+        make_packed_composite_program,
+        packed_composite_fits,
+    )
+
+    w, h = 1152, 64
+    assert _padded_geometry(w) == (192, 256, 1536)
+    v210 = get_format("v210")
+    mats = [
+        transform_matrix(w, h, scale_x=0.9, scale_y=0.9, offset_x=0.02 + 0.01 * i)
+        for i in range(2)
+    ]
+    bucket = bucket_of(*mats)
+    assert packed_composite_fits(h, w, bucket, 2)
+    srcs = [_planes(w, h, roll=7 * k + 1) for k in range(3)]
+    comp = make_packed_composite_program(
+        h, w, bucket, (2, 1), interpret=True, sextet_split=True
+    )
+    got_planes = comp(
+        srcs, jnp.stack([jnp.asarray(m) for m in mats]),
+        jnp.asarray([0.35, 1.0], np.float32),
+    )
+    assert got_planes.shape == (4, h, 192)  # cropped back to real pitch
+    got = np.asarray(planes_to_words(got_planes))
+
+    layers = (
+        LayerSpec(
+            "v210", transition="dissolve", has_transform=True, axis_aligned=True,
+            src_b_format="v210", warp_bucket=-1,
+        ),
+        LayerSpec("v210", has_transform=True, axis_aligned=True, warp_bucket=-1),
+    )
+    base = ChannelSpec(w, h, "v210", layers=layers, pallas_stages=False)
+    params = {"layers": [
+        {"src": [planes_to_words(srcs[0])], "src_b": [planes_to_words(srcs[1])],
+         "matrix": jnp.asarray(mats[0]), "mix": jnp.float32(0.35)},
+        {"src": [planes_to_words(srcs[2])], "matrix": jnp.asarray(mats[1])},
+    ]}
+    want = np.asarray(make_channel_program(base)(params)[0])
+    ya, ua, va = (np.asarray(q) for q in v210.unpack_codes([jnp.asarray(got)], w, h))
+    yb, ub, vb = (np.asarray(q) for q in v210.unpack_codes([jnp.asarray(want)], w, h))
+    for qa, qb in ((ya, yb), (ua, ub), (va, vb)):
+        assert np.abs(qa.astype(int) - qb.astype(int)).max() <= 1
+
+
+@pytest.mark.parametrize("w,h", [(768, 64), (1152, 64)])
+def test_packed_composite_rgb3_matches_staged(w, h):
+    """rgb3 sources (opaque (3,H,W) f32 — deinterlaced fields, the HD
+    interlaced default load's composite shape): the one-kernel
+    composite's window split+premix+warp+over+pack vs the staged XLA
+    channel program, at an exact width AND a padded HD-class width."""
+    from phaneron_tpu.graph.pipeline import (
+        ChannelSpec,
+        LayerSpec,
+        make_channel_program,
+    )
+    from phaneron_tpu.ops.pallas_kernels import planes_to_words
+    from phaneron_tpu.ops.pallas_packed_warp import (
+        make_packed_composite_program,
+        packed_composite_fits,
+    )
+    from phaneron_tpu.runtime.frame import RGBA_F32
+
+    v210 = get_format("v210")
+    rng = np.random.default_rng(41)
+    srcs = [
+        jnp.asarray(rng.random((3, h, w), dtype=np.float32)) for _ in range(3)
+    ]
+    mats = [
+        transform_matrix(w, h, scale_x=0.9, scale_y=0.9, offset_x=0.02 + 0.01 * i)
+        for i in range(2)
+    ]
+    bucket = bucket_of(*mats)
+    assert packed_composite_fits(h, w, bucket, 2, src_kind="rgb3")
+    comp = make_packed_composite_program(
+        h, w, bucket, (2, 1), interpret=True, src_kind="rgb3"
+    )
+    got_planes = comp(
+        srcs, jnp.stack([jnp.asarray(m) for m in mats]),
+        jnp.asarray([0.35, 1.0], np.float32),
+    )
+    got = np.asarray(planes_to_words(got_planes))
+
+    layers = (
+        LayerSpec(
+            RGBA_F32, transition="dissolve", has_transform=True,
+            axis_aligned=True, src_b_format=RGBA_F32, warp_bucket=-1,
+        ),
+        LayerSpec(RGBA_F32, has_transform=True, axis_aligned=True, warp_bucket=-1),
+    )
+    base = ChannelSpec(w, h, "v210", layers=layers, pallas_stages=False)
+    params = {"layers": [
+        {"src": srcs[0], "src_b": srcs[1],
+         "matrix": jnp.asarray(mats[0]), "mix": jnp.float32(0.35)},
+        {"src": srcs[2], "matrix": jnp.asarray(mats[1])},
+    ]}
+    want = np.asarray(make_channel_program(base)(params)[0])
+    ya, ua, va = (np.asarray(q) for q in v210.unpack_codes([jnp.asarray(got)], w, h))
+    yb, ub, vb = (np.asarray(q) for q in v210.unpack_codes([jnp.asarray(want)], w, h))
+    for qa, qb in ((ya, yb), (ua, ub), (va, vb)):
+        assert np.abs(qa.astype(int) - qb.astype(int)).max() <= 1
+
+
+def test_channel_program_routes_rgb3_composite():
+    """A Pallas-path channel whose layers are opaque rgb3 fields (the
+    interlaced default load's composite) must route through the
+    one-kernel rgb3 composite and match the XLA path."""
+    from phaneron_tpu.graph.pipeline import (
+        ChannelSpec,
+        LayerSpec,
+        _packed_composite_run,
+        make_channel_program,
+    )
+    from phaneron_tpu.runtime.frame import RGBA_F32
+
+    w, h = 768, 64
+    v210 = get_format("v210")
+    rng = np.random.default_rng(43)
+    ma = transform_matrix(w, h, scale_x=0.9, scale_y=0.9, offset_x=0.02)
+    layer = LayerSpec(
+        RGBA_F32, transition="dissolve", has_transform=True, axis_aligned=True,
+        src_b_format=RGBA_F32, warp_bucket=bucket_of(ma), src_opaque=True,
+    )
+    spec = ChannelSpec(w, h, "v210", layers=(layer,) * 2, pallas_stages=True)
+    base = spec._replace(
+        pallas_stages=False, layers=(layer._replace(warp_bucket=-1),) * 2
+    )
+    params = {"layers": [
+        {"src": jnp.asarray(rng.random((3, h, w), dtype=np.float32)),
+         "src_b": jnp.asarray(rng.random((3, h, w), dtype=np.float32)),
+         "matrix": jnp.asarray(ma), "mix": jnp.float32(0.4 + 0.1 * i)}
+        for i in range(2)
+    ]}
+    run = _packed_composite_run(spec, params)
+    assert run is not None and run[3] == "rgb3", run
+    a = np.asarray(make_channel_program(spec)(params)[0])
+    b = np.asarray(make_channel_program(base)(params)[0])
+    ya, ua, va = (np.asarray(q) for q in v210.unpack_codes([jnp.asarray(a)], w, h))
+    yb, ub, vb = (np.asarray(q) for q in v210.unpack_codes([jnp.asarray(b)], w, h))
+    for qa, qb in ((ya, yb), (ua, ub), (va, vb)):
+        assert np.abs(qa.astype(int) - qb.astype(int)).max() <= 1
+
+
 def test_packed_composite_even_sources_double_buffered():
     """Even source counts run the double-buffered window pipeline
     (slot = s % 2 across block boundaries); parity must hold."""

@@ -103,6 +103,24 @@ def test_pair_bit_equals_single(h, w, tff, channels):
         )
 
 
+@pytest.mark.parametrize("h,w", [(96, 128), (120, 256)])
+def test_pair_channel_split_bit_equals_joint(h, w):
+    """The gated channel-split pair variant (one RGB channel per grid
+    step; OFF by default — measured slower on hardware, see
+    make_yadif_pair_program) must stay bit-identical to the joint
+    kernel."""
+    joint = make_yadif_pair_program(h, w, True, interpret=True, channels=3)
+    split = make_yadif_pair_program(
+        h, w, True, interpret=True, channels=3, channel_split=True
+    )
+    rng = np.random.default_rng(31)
+    prev, cur, nxt = (
+        jnp.asarray(rng.random((3, h, w), dtype=np.float32)) for _ in range(3)
+    )
+    for a, b in zip(joint(prev, cur, nxt), split(prev, cur, nxt)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_pair_opaque_bit_equals_full():
     h, w = 96, 128
     rng = np.random.default_rng(23)

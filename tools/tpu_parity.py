@@ -107,6 +107,78 @@ def check_composite(w: int, h: int) -> None:
         assert worst <= 1, (cchunk, poly, split, worst)
 
 
+def check_composite_rgb3(w: int, h: int) -> None:
+    """Compiled rgb3-source composite (opaque f32 fields in, padded
+    internal geometry at HD) vs the staged XLA channel program."""
+    from phaneron_tpu.runtime.frame import RGBA_F32
+
+    v210 = get_format("v210")
+    rng = np.random.default_rng(13)
+    srcs = [
+        jax.device_put(rng.random((3, h, w), dtype=np.float32))
+        for _ in range(4)
+    ]
+    mats = [
+        transform_matrix(w, h, scale_x=0.9, scale_y=0.9, offset_x=0.02 + 0.01 * i)
+        for i in range(2)
+    ]
+    bucket = bucket_of(*mats)
+    layer = LayerSpec(
+        RGBA_F32, transition="dissolve", has_transform=True, axis_aligned=True,
+        src_b_format=RGBA_F32, warp_bucket=-1,
+    )
+    base = ChannelSpec(w, h, "v210", layers=(layer,) * 2, pallas_stages=False)
+    params = {"layers": [
+        {"src": srcs[2 * i], "src_b": srcs[2 * i + 1],
+         "matrix": jnp.asarray(mats[i]), "mix": jnp.float32([0.35, 0.6][i])}
+        for i in range(2)
+    ]}
+    want = np.asarray(jax.block_until_ready(make_channel_program(base)(params)[0]))
+    comp = make_packed_composite_program(
+        h, w, bucket, (2, 2), interpret=False, src_kind="rgb3"
+    )
+    got_planes = jax.block_until_ready(comp(
+        srcs, jnp.stack([jnp.asarray(m) for m in mats]),
+        jnp.asarray([0.35, 0.6], np.float32),
+    ))
+    got = np.asarray(planes_to_words(got_planes))
+    worst = max(
+        np.abs(a.astype(int) - b.astype(int)).max()
+        for a, b in zip(
+            (np.asarray(q) for q in v210.unpack_codes([jnp.asarray(got)], w, h)),
+            (np.asarray(q) for q in v210.unpack_codes([jnp.asarray(want)], w, h)),
+        )
+    )
+    log(f"composite rgb3 {w}x{h}: worst code delta {worst} "
+        f"{'OK' if worst <= 1 else 'FAIL'}")
+    assert worst <= 1, worst
+
+
+def check_yadif_pair(h: int, w: int, channels: int) -> None:
+    """Compiled pair kernel vs the single-field ring kernel at both
+    parities — bit-equality (the pair's whole contract)."""
+    from phaneron_tpu.ops.pallas_yadif import (
+        make_yadif_pair_program,
+        make_yadif_ring_program,
+    )
+
+    rng = np.random.default_rng(29)
+    prev, cur, nxt = (
+        jax.device_put(rng.random((channels, h, w), dtype=np.float32))
+        for _ in range(3)
+    )
+    single = make_yadif_ring_program(h, w, True, channels=channels)
+    pair = make_yadif_pair_program(h, w, True, channels=channels)
+    o0, o1 = jax.jit(pair)(prev, cur, nxt)
+    ok = True
+    for parity, got in ((0, o0), (1, o1)):
+        exp = jax.jit(single)(prev, cur, nxt, jnp.int32(parity))
+        ok &= bool(jnp.array_equal(got, exp))
+    log(f"yadif pair {w}x{h} ch={channels}: bit-equal "
+        f"{'OK' if ok else 'FAIL'}")
+    assert ok
+
+
 def check_unpack(w: int, h: int) -> None:
     v210 = get_format("v210")
     rng = np.random.default_rng(7)
@@ -136,6 +208,11 @@ def main():
     check_unpack(1920, 1080)
     check_unpack(3840, 2160)
     check_composite(w, h)
+    # HD: the padded-geometry packed composite (groups 320 -> 384)
+    check_composite(1920, 1080)
+    # the interlaced default load's composite shape + its deinterlacer
+    check_composite_rgb3(1920, 1080)
+    check_yadif_pair(1080, 1920, 3)
     log("ALL PARITY CHECKS PASSED (compiled on device)")
 
 
