@@ -10,7 +10,7 @@ chain-measures each variant on the real chip:
     nodecode  — also drop deint/colour/gamma (delta = chunk decode)
     nosplit   — also drop the phase split    (delta = split; rest = DMA+overhead)
 
-python tools/packed_ablate.py [uhd|hd8k...]
+python tools/packed_ablate.py [uhd|8k|hd] [n_layers]
 """
 import sys
 
@@ -27,8 +27,9 @@ from phaneron_tpu.ops.pallas_packed_warp import make_packed_composite_program
 
 
 def main():
-    w, h = 3840, 2160
-    n_layers = 4
+    geo = sys.argv[1] if len(sys.argv) > 1 else "uhd"
+    w, h = {"uhd": (3840, 2160), "8k": (7680, 4320), "hd": (1920, 1080)}[geo]
+    n_layers = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     layer_cfg = (2,) * n_layers
     m = transform_matrix(w, h, scale_x=0.9, scale_y=0.9, offset_x=0.02)
     bucket = bucket_of(m)
@@ -61,8 +62,11 @@ def main():
         "nosplit+nowarp+nopack",
     )
     for ab in ladder:
+        # shipped config (pipeline.PACKED_*: cchunk 128, poly gamma,
+        # sextet split) so the deltas attribute the kernel we ship
         prog = make_packed_composite_program(
-            h, w, bucket, layer_cfg, _ablate=ab
+            h, w, bucket, layer_cfg, poly_gamma=True, sextet_split=True,
+            _ablate=ab,
         )
 
         @jax.jit
